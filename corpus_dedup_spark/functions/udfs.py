@@ -1,0 +1,225 @@
+"""Vectorized pandas/Arrow UDFs wrapping the parity kernels.
+
+Per the input hint: pyspark.sql DataFrame + vectorized pandas/Arrow UDFs throughout, no
+per-row Python UDFs. Every UDF here is Arrow-batched; inner loops are numpy or tight
+C-backed bytes/regex operations from :mod:`corpus_dedup_spark.kernel`.
+
+Hash columns are uint64 semantically but carried as Spark LongType (bit-reinterpreted
+via ``int64`` views) — comparisons/joins are unaffected.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, BinaryType, LongType
+
+from corpus_dedup_spark import kernel
+from corpus_dedup_spark.config import DedupConfig
+
+_U64 = np.uint64
+_MIX_BASE = np.uint64(0x100000001B3)  # FNV prime as polynomial base for hash combining
+
+
+def _as_bytes(x) -> bytes:
+    if x is None:
+        return b""
+    if isinstance(x, (bytes, bytearray)):
+        return bytes(x)
+    return str(x).encode("utf-8")
+
+
+# ---------------------------------------------------------------------------
+# U1+U5+U6 — unit extraction (squash → split → normalize → truncate → drop empty)
+# ---------------------------------------------------------------------------
+
+def make_extract_units_udf(mode: str = "sentence", max_length: int = 0):
+    """text (string|binary) → array<binary> of normalized units, document order.
+
+    This is the byte-identical-per-url invariant kernel (ref: src/sentence_splitter.c:
+    277-401, src/text_utils.c:7-34, src/io_utils.c:68-88, src/dedup.c:297-366).
+    """
+
+    @pandas_udf(ArrayType(BinaryType()))
+    def extract_units(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: kernel.extract_units(_as_bytes(t), mode, max_length))
+
+    return extract_units
+
+
+# ---------------------------------------------------------------------------
+# H1 — FNV-1a unit hashes (parity counters / shingle base hashes)
+# ---------------------------------------------------------------------------
+
+@pandas_udf(LongType())
+def fnv1a_udf(units: pd.Series) -> pd.Series:
+    """binary → int64 (bit-reinterpreted uint64 FNV-1a, ref src/hash_utils.c:3-10)."""
+    vals = kernel.fnv1a_many([_as_bytes(u) for u in units])
+    return pd.Series(vals.view(np.int64))
+
+
+@pandas_udf(ArrayType(LongType()))
+def unit_hashes_udf(unit_lists: pd.Series) -> pd.Series:
+    """array<binary> → array<int64> of per-unit FNV-1a hashes (one flat vectorized pass)."""
+    lists = [v if v is not None else [] for v in unit_lists]
+    counts = [len(v) for v in lists]
+    flat = [_as_bytes(u) for v in lists for u in v]
+    hashes = kernel.fnv1a_many(flat).view(np.int64)
+    out, pos = [], 0
+    for c in counts:
+        out.append(hashes[pos:pos + c].tolist())
+        pos += c
+    return pd.Series(out)
+
+
+# ---------------------------------------------------------------------------
+# H5 — shingling + batched MinHash signatures (north-rule extension)
+# ---------------------------------------------------------------------------
+
+def _shingle_hashes(unit_hashes: np.ndarray, k: int) -> np.ndarray:
+    """w-shingles of k consecutive unit hashes → one u64 per shingle (polynomial
+    combine, vectorized sliding window). len < k → single shingle over all units
+    (so short docs still signature-match their exact duplicates)."""
+    n = len(unit_hashes)
+    if n == 0:
+        return np.empty(0, dtype=_U64)
+    k_eff = min(k, n)
+    h = unit_hashes.astype(_U64)
+    with np.errstate(over="ignore"):
+        acc = np.zeros(n - k_eff + 1, dtype=_U64)
+        for j in range(k_eff):
+            acc = acc * _MIX_BASE + h[j:n - k_eff + 1 + j]
+    return np.unique(acc)
+
+
+def _perm_params(cfg: DedupConfig) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(cfg.minhash_seed)
+    a = rng.integers(1, 1 << 63, size=cfg.num_perm, dtype=np.uint64) * _U64(2) + _U64(1)
+    b = rng.integers(0, 1 << 63, size=cfg.num_perm, dtype=np.uint64)
+    return a, b
+
+
+def make_minhash_udf(cfg: DedupConfig):
+    """array<binary> units → array<int64> MinHash signature (num_perm values).
+
+    Identical unit lists ⇒ identical shingle sets ⇒ identical signatures, so exact
+    duplicates are caught with probability 1 (the reference's exact-dup semantics are a
+    floor under the LSH near-dup extension). Batched: one (S_total × P) numpy pass per
+    Arrow batch, multiply-shift permutations in native-wrapping uint64.
+    """
+    a_params, b_params = _perm_params(cfg)
+    k = cfg.shingle_k
+    num_perm = cfg.num_perm
+
+    @pandas_udf(ArrayType(LongType()))
+    def minhash_signature(unit_lists: pd.Series) -> pd.Series:
+        lists = [v if v is not None else [] for v in unit_lists]
+        counts = [len(v) for v in lists]
+        flat = [_as_bytes(u) for v in lists for u in v]
+        uh = kernel.fnv1a_many(flat)
+        shingle_sets: list[np.ndarray] = []
+        pos = 0
+        for c in counts:
+            shingle_sets.append(_shingle_hashes(uh[pos:pos + c], k))
+            pos += c
+        s_counts = np.fromiter((len(s) for s in shingle_sets), dtype=np.int64,
+                               count=len(shingle_sets))
+        total = int(s_counts.sum())
+        out = np.full((len(lists), num_perm), np.iinfo(np.uint64).max, dtype=_U64)
+        if total:
+            hs = np.concatenate([s for s in shingle_sets if len(s)]) if total else None
+            starts = np.zeros(len(lists), dtype=np.int64)
+            np.cumsum(s_counts[:-1], out=starts[1:])
+            nonempty = s_counts > 0
+            ne_starts = starts[nonempty]
+            with np.errstate(over="ignore"):
+                for p0 in range(0, num_perm, 16):
+                    p1 = min(p0 + 16, num_perm)
+                    m = hs[:, None] * a_params[None, p0:p1] + b_params[None, p0:p1]
+                    mins = np.minimum.reduceat(m, ne_starts, axis=0)
+                    out[nonempty, p0:p1] = mins
+        sig = out.view(np.int64)
+        return pd.Series(list(sig))
+
+    return minhash_signature
+
+
+def make_band_hashes_udf(cfg: DedupConfig):
+    """array<int64> signature → array<int64> of lsh_bands band hashes."""
+    bands, rows = cfg.lsh_bands, cfg.lsh_rows
+
+    @pandas_udf(ArrayType(LongType()))
+    def band_hashes(sigs: pd.Series) -> pd.Series:
+        mat = np.asarray([s for s in sigs], dtype=np.int64).view(_U64)
+        if mat.size == 0:
+            return pd.Series([[] for _ in range(len(sigs))])
+        n = mat.shape[0]
+        cube = mat.reshape(n, bands, rows)
+        with np.errstate(over="ignore"):
+            acc = np.zeros((n, bands), dtype=_U64)
+            for j in range(rows):
+                acc = acc * _MIX_BASE + cube[:, :, j]
+            # mix in the band index so identical row-slices in different bands
+            # land in different buckets
+            acc = acc * _MIX_BASE + np.arange(bands, dtype=_U64)[None, :]
+        out = acc.view(np.int64)
+        return pd.Series(list(out))
+
+    return band_hashes
+
+
+# ---------------------------------------------------------------------------
+# SimHash (near-dup alternative; 64-bit, from unit hashes)
+# ---------------------------------------------------------------------------
+
+@pandas_udf(LongType())
+def simhash_udf(unit_lists: pd.Series) -> pd.Series:
+    """array<binary> units → int64 SimHash: sign of per-bit vote over unit FNV hashes."""
+    lists = [v if v is not None else [] for v in unit_lists]
+    counts = [len(v) for v in lists]
+    flat = [_as_bytes(u) for v in lists for u in v]
+    uh = kernel.fnv1a_many(flat)
+    bits = ((uh[:, None] >> np.arange(64, dtype=_U64)[None, :]) & _U64(1)).astype(np.int64)
+    votes = bits * 2 - 1  # 0 → -1, 1 → +1
+    out = np.zeros(len(lists), dtype=np.uint64)
+    pos = 0
+    for i, c in enumerate(counts):
+        if c:
+            tally = votes[pos:pos + c].sum(axis=0)
+            out[i] = np.bitwise_or.reduce(
+                np.where(tally > 0, _U64(1), _U64(0)) << np.arange(64, dtype=_U64)
+            )
+        pos += c
+    return pd.Series(out.view(np.int64))
+
+
+# ---------------------------------------------------------------------------
+# H2/H4 — rolling-hash window fingerprints over UTF-32 codepoints
+# ---------------------------------------------------------------------------
+
+def make_window_fingerprints_udf(window: int, base: int = kernel.SEARCH_HASH_BASE,
+                                 add: int = 1):
+    """text → array<int64> of rolling window hashes (positions implicit 0..n-window).
+
+    Search-hash constants by default (ref: src/search_mode.c:114-149 — base
+    1315423911, value = cp+1 so a leading U+0000 affects the hash).
+    """
+
+    @pandas_udf(ArrayType(LongType()))
+    def window_fps(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            cps = kernel.utf8_decode_buffer(kernel.squash_newlines(_as_bytes(t)))
+            n = len(cps)
+            if n < window:
+                out.append([])
+                continue
+            prefix, pow_ = kernel.rolling_prefix(cps, base, add)
+            starts = np.arange(0, n - window + 1, dtype=np.int64)
+            lens = np.full(len(starts), window, dtype=np.int64)
+            out.append(kernel.window_hashes(prefix, pow_, starts, lens)
+                       .view(np.int64).tolist())
+        return pd.Series(out)
+
+    return window_fps

@@ -1,0 +1,466 @@
+"""Pure-Python/numpy parity kernels — the executable spec of the reference semantics.
+
+Every function here is a from-scratch reimplementation of behavior observed in the
+reference (``/root/reference``, cited per-function as file:line). These kernels are the
+single source of truth for both the pytest golden tests and the vectorized pandas UDFs in
+:mod:`corpus_dedup_spark.functions.udfs`. They operate on **bytes**, because the reference
+is byte-oriented (UTF-8 is not validated for dedup; invalid sequences must survive).
+
+No code is copied from the reference — these are clean-room ports of the *semantics*.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Q1 — newline squash at read time (ref: src/io_utils.c:68-88)
+# ---------------------------------------------------------------------------
+
+_SQUASH_TABLE = bytes(
+    0x20 if b in (0x0A, 0x0D) else b for b in range(256)
+)
+
+
+def squash_newlines(data: bytes) -> bytes:
+    """Replace every ``\\n``/``\\r`` byte with a space, as the reference does at
+    file-read time (src/io_utils.c:68-88). All splitting modes see squashed text."""
+    return data.translate(_SQUASH_TABLE)
+
+
+# ---------------------------------------------------------------------------
+# UTF-8 decode with U+FFFD for invalid (ref: src/utf8.c:5-58)
+# ---------------------------------------------------------------------------
+
+def utf8_decode_advance(data: bytes, i: int, n: int) -> tuple[int, int, bool]:
+    """Decode one codepoint at ``data[i:]``; return (codepoint, advance, invalid).
+
+    Mirrors src/utf8.c:5-58: invalid/overlong/surrogate/truncated sequences yield
+    (0xFFFD, 1, True); valid multibyte advances by its length. ASCII never invalid.
+    """
+    b0 = data[i]
+    if b0 < 0x80:
+        return b0, 1, False
+    if (b0 & 0xE0) == 0xC0 and n - i >= 2:
+        b1 = data[i + 1]
+        if (b1 & 0xC0) == 0x80:
+            cp = ((b0 & 0x1F) << 6) | (b1 & 0x3F)
+            if cp >= 0x80:
+                return cp, 2, False
+    elif (b0 & 0xF0) == 0xE0 and n - i >= 3:
+        b1, b2 = data[i + 1], data[i + 2]
+        if (b1 & 0xC0) == 0x80 and (b2 & 0xC0) == 0x80:
+            cp = ((b0 & 0x0F) << 12) | ((b1 & 0x3F) << 6) | (b2 & 0x3F)
+            if cp >= 0x800 and not (0xD800 <= cp <= 0xDFFF):
+                return cp, 3, False
+    elif (b0 & 0xF8) == 0xF0 and n - i >= 4:
+        b1, b2, b3 = data[i + 1], data[i + 2], data[i + 3]
+        if (b1 & 0xC0) == 0x80 and (b2 & 0xC0) == 0x80 and (b3 & 0xC0) == 0x80:
+            cp = (
+                ((b0 & 0x07) << 18)
+                | ((b1 & 0x3F) << 12)
+                | ((b2 & 0x3F) << 6)
+                | (b3 & 0x3F)
+            )
+            if 0x10000 <= cp <= 0x10FFFF:
+                return cp, 4, False
+    return 0xFFFD, 1, True
+
+
+def utf8_decode_buffer(data: bytes) -> np.ndarray:
+    """Decode a whole buffer to a uint32 codepoint array, invalid → U+FFFD
+    (ref: src/utf8.c:60-100). Used by block-fingerprint and search stages only."""
+    # Fast path: pure ASCII.
+    if not data:
+        return np.empty(0, dtype=np.uint32)
+    arr = np.frombuffer(data, dtype=np.uint8)
+    if (arr < 0x80).all():
+        return arr.astype(np.uint32)
+    out = np.empty(len(data), dtype=np.uint32)
+    i, n, k = 0, len(data), 0
+    while i < n:
+        cp, adv, _inv = utf8_decode_advance(data, i, n)
+        out[k] = cp
+        k += 1
+        i += adv
+    return out[:k]
+
+
+# ---------------------------------------------------------------------------
+# U1 — sentence splitter (ref: src/sentence_splitter.c:277-401)
+# ---------------------------------------------------------------------------
+
+_IMMEDIATE_TERMINATORS = frozenset({0x3002, 0xFF1F, 0xFF01, 0x2026, 0x061F, 0xFF61})
+# (ref: src/sentence_splitter.c:21-24)
+
+_ASCII_CLOSERS = frozenset(b"\"')]}")  # src/sentence_splitter.c:57-59
+_UNICODE_CLOSERS = frozenset(
+    {0x00BB, 0x2019, 0x201D, 0x300D, 0x300F, 0x3009, 0x300B, 0x3011,
+     0x3015, 0x3017, 0x3019, 0x301B, 0xFF09, 0xFF3D, 0xFF5D}
+)  # src/sentence_splitter.c:61-66
+
+_ABBREV_2 = frozenset({b"mr", b"ms", b"dr", b"vs", b"jr", b"sr", b"st", b"mt"})
+_ABBREV_3 = frozenset({b"mrs", b"etc"})  # src/sentence_splitter.c:144-165
+
+# next '.', '!', '?' or any byte >= 0x80 (ref: find_next_event_ascii, :202-245)
+_EVENT_RE = re.compile(rb"[.!?\x80-\xff]")
+# run of ASCII bytes <= 0x20 (the common case in skip_white_space, :74-78)
+_ASCII_WS_RE = re.compile(rb"[\x00-\x20]+")
+
+
+def _is_basic_white_space(cp: int) -> bool:
+    """ref: src/sentence_splitter.c:30-40."""
+    if cp <= 0x20:
+        return True
+    if cp in (0x00A0, 0x1680, 0x3000):
+        return True
+    if 0x2000 <= cp <= 0x200A:
+        return True
+    return cp in (0x2028, 0x2029, 0x202F, 0x205F)
+
+
+def _skip_white_space(data: bytes, i: int, n: int) -> int:
+    """ref: src/sentence_splitter.c:71-118 (fast paths are semantic subsets of the
+    decode+is_basic_white_space check, so a uniform decode is byte-equivalent)."""
+    while i < n:
+        m = _ASCII_WS_RE.match(data, i, n)
+        if m:
+            i = m.end()
+            continue
+        if data[i] < 0x80:
+            return i
+        cp, adv, invalid = utf8_decode_advance(data, i, n)
+        if invalid:  # decode wrapper returns 0 → stop (src/sentence_splitter.c:108-110)
+            return i
+        if _is_basic_white_space(cp):
+            i += adv
+            continue
+        return i
+    return i
+
+
+def _skip_closing_punct(data: bytes, i: int, n: int) -> int:
+    """ref: src/sentence_splitter.c:120-142."""
+    while i < n:
+        b = data[i]
+        if b < 0x80:
+            if b in _ASCII_CLOSERS:
+                i += 1
+                continue
+            return i
+        cp, adv, invalid = utf8_decode_advance(data, i, n)
+        if invalid:
+            return i
+        if cp in _UNICODE_CLOSERS:
+            i += adv
+            continue
+        return i
+    return i
+
+
+def _is_ascii_alpha(b: int) -> bool:
+    return ord("a") <= (b | 0x20) <= ord("z")
+
+
+def _should_block_split_on_dot(
+    data: bytes, sentence_start: int, dot_pos: int, next_non_space: int, n: int
+) -> bool:
+    """Dot-suppression: ≤3 ASCII letters before the dot AND (lowercase follows OR the
+    word is a known abbreviation) → do not split (ref: src/sentence_splitter.c:167-189)."""
+    if next_non_space >= n:
+        return False
+    ln = 0
+    p = dot_pos
+    while p > sentence_start:
+        if not _is_ascii_alpha(data[p - 1]):
+            break
+        ln += 1
+        if ln > 3:
+            break
+        p -= 1
+    if ln == 0 or ln > 3:
+        return False
+    c = data[next_non_space]
+    if ord("a") <= c <= ord("z"):
+        return True
+    word = data[dot_pos - ln:dot_pos].lower()
+    return word in (_ABBREV_2 if ln == 2 else _ABBREV_3) if ln in (2, 3) else False
+
+
+def split_sentences(text: bytes) -> list[tuple[int, int]]:
+    """Split squashed UTF-8 bytes into sentence spans ``(start, length)``.
+
+    Clean-room port of split_text_to_sentences (src/sentence_splitter.c:277-401):
+    ASCII ``.!?`` runs + closer absorption + whitespace-gap requirement +
+    dot-suppression; immediate split on 。？！…؟｡; invalid bytes skipped one at a time.
+    Returned spans include terminators/closers, exclude inter-sentence whitespace.
+    """
+    out: list[tuple[int, int]] = []
+    n = len(text)
+    if n == 0:
+        return out
+    ss = _skip_white_space(text, 0, n)
+    cur = ss
+    while cur < n:
+        b0 = text[cur]
+        if b0 < 0x80:
+            m = _EVENT_RE.search(text, cur, n)
+            if m is None:
+                cur = n
+                break
+            cur = m.start()
+            b0 = text[cur]
+            if b0 < 0x80:  # one of . ! ?
+                term_end = cur + 1
+                while term_end < n and text[term_end] == b0:
+                    term_end += 1
+                after = _skip_closing_punct(text, term_end, n)
+                ws = _skip_white_space(text, after, n)
+                split_here = False
+                if after >= n:
+                    split_here = True
+                elif ws > after:
+                    if b0 == 0x2E:  # '.'
+                        if not _should_block_split_on_dot(text, ss, cur, ws, n):
+                            split_here = True
+                    else:
+                        split_here = True
+                if split_here:
+                    if after > ss:
+                        out.append((ss, after - ss))
+                    ss = ws
+                    cur = ss
+                else:
+                    cur = ws if ws > after else after
+                continue
+        # non-ASCII byte: CJK fast paths then general decode
+        if (
+            b0 == 0xE3 and cur + 2 < n
+            and text[cur + 1] == 0x80 and text[cur + 2] == 0x82
+        ):  # 。
+            adv, split_here = 3, True
+        elif (
+            b0 == 0xEF and cur + 2 < n
+            and text[cur + 1] == 0xBC and text[cur + 2] in (0x9F, 0x81)
+        ):  # ？ ！
+            adv, split_here = 3, True
+        else:
+            cp, adv, invalid = utf8_decode_advance(text, cur, n)
+            if invalid:  # wrapper returns 0 → cursor++ (src/sentence_splitter.c:366-369)
+                cur += 1
+                continue
+            split_here = cp in _IMMEDIATE_TERMINATORS
+        nxt = cur + adv
+        if split_here:
+            after = _skip_closing_punct(text, nxt, n)
+            if after > ss:
+                out.append((ss, after - ss))
+            ss = _skip_white_space(text, after, n)
+            cur = ss
+            continue
+        cur = nxt
+    if cur > ss:
+        out.append((ss, cur - ss))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# U2/U3 — line & paragraph splitters (ref: src/dedup.c:218-295)
+# Note quirk: in the shipped binary these run AFTER the newline squash, so they
+# degenerate to document mode. We implement them literally for parity.
+# ---------------------------------------------------------------------------
+
+def _has_non_space(data: bytes, start: int, end: int) -> bool:
+    return any(data[i] > 0x20 for i in range(start, end))
+
+
+def split_lines(text: bytes) -> list[tuple[int, int]]:
+    """ref: src/dedup.c:264-295 — split on \\n/\\r runs, drop blank lines."""
+    out: list[tuple[int, int]] = []
+    n = len(text)
+    pos = 0
+    line_start = 0
+    while pos < n:
+        while pos < n and text[pos] not in (0x0A, 0x0D):
+            pos += 1
+        line_end = pos
+        while pos < n and text[pos] in (0x0A, 0x0D):
+            pos += 1
+        if _has_non_space(text, line_start, line_end):
+            out.append((line_start, line_end - line_start))
+        line_start = pos
+    return out
+
+
+def split_paragraphs(text: bytes) -> list[tuple[int, int]]:
+    """ref: src/dedup.c:218-262 — split on blank lines (all bytes ≤ 0x20)."""
+    out: list[tuple[int, int]] = []
+    n = len(text)
+    para_start = 0
+    pos = 0
+    while pos < n:
+        line_start = pos
+        while pos < n and text[pos] not in (0x0A, 0x0D):
+            pos += 1
+        line_end = pos
+        while pos < n and text[pos] in (0x0A, 0x0D):
+            pos += 1
+        if not _has_non_space(text, line_start, line_end):
+            if para_start < line_start and _has_non_space(text, para_start, line_start):
+                out.append((para_start, line_start - para_start))
+            para_start = pos
+    if para_start < n and _has_non_space(text, para_start, n):
+        out.append((para_start, n - para_start))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# U5/U6 — normalizer + truncation (ref: src/text_utils.c:7-34; src/dedup.c:303-306)
+# ---------------------------------------------------------------------------
+
+_STRIP_BYTES = bytes(range(0x21))
+_WS_RUN_RE = re.compile(rb"[\x00-\x20]+")
+
+
+def normalize_unit(data: bytes, max_length: int = 0) -> bytes:
+    """Trim leading/trailing bytes ≤0x20; collapse interior runs to one space;
+    then truncate to ``max_length`` BYTES if nonzero (quirk Q5: bytes, not
+    codepoints — truncation may split a UTF-8 sequence). ref: src/text_utils.c:7-34,
+    src/dedup.c:303-306."""
+    out = _WS_RUN_RE.sub(b" ", data.strip(_STRIP_BYTES))
+    if max_length and len(out) > max_length:
+        out = out[:max_length]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# H1 — FNV-1a 64 with the reference's (non-canonical) offset basis
+# (ref: src/hash_utils.c:3-10 — offset 1469598103934665603, prime 1099511628211)
+# ---------------------------------------------------------------------------
+
+FNV_OFFSET = 1469598103934665603  # NOT canonical 14695981039346656037 — quirk
+FNV_PRIME = 1099511628211
+_U64 = (1 << 64) - 1
+
+
+def fnv1a(data: bytes) -> int:
+    """Reference FNV-1a 64 over raw bytes (src/hash_utils.c:3-10)."""
+    h = FNV_OFFSET
+    for b in data:
+        h = ((h ^ b) * FNV_PRIME) & _U64
+    return h
+
+
+def fnv1a_many(units: list[bytes]) -> np.ndarray:
+    """Vectorized FNV-1a over a batch of byte strings → uint64 array.
+
+    Vectorizes across units (one numpy pass per byte position), which is fast when
+    unit lengths are bounded (sentences). Matches :func:`fnv1a` bit-for-bit.
+    """
+    m = len(units)
+    if m == 0:
+        return np.empty(0, dtype=np.uint64)
+    lengths = np.fromiter((len(u) for u in units), dtype=np.int64, count=m)
+    if lengths.max(initial=0) == 0:
+        return np.full(m, np.uint64(FNV_OFFSET), dtype=np.uint64)
+    blob = np.frombuffer(b"".join(units), dtype=np.uint8)
+    offsets = np.zeros(m, dtype=np.int64)
+    np.cumsum(lengths[:-1], out=offsets[1:])
+    h = np.full(m, FNV_OFFSET, dtype=np.uint64)
+    prime = np.uint64(FNV_PRIME)
+    max_len = int(lengths.max())
+    # sort by length so the active set is a suffix → pure slicing, no boolean masks
+    order = np.argsort(lengths, kind="stable")
+    h_s = h[order]
+    off_s = offsets[order]
+    len_s = lengths[order]
+    start = 0
+    with np.errstate(over="ignore"):
+        for j in range(max_len):
+            while start < m and len_s[start] <= j:
+                start += 1
+            idx = off_s[start:] + j
+            h_s[start:] = (h_s[start:] ^ blob[idx].astype(np.uint64)) * prime
+    h[order] = h_s
+    return h
+
+
+# ---------------------------------------------------------------------------
+# H2/H3 — polynomial rolling hash, base 31 mod 2^64 over UTF-32 codepoints
+# (ref: src/block_tree_core.c:90-97,100-140,162-201)
+# ---------------------------------------------------------------------------
+
+BLOCK_HASH_BASE = 31
+SEARCH_HASH_BASE = 1315423911  # ref: src/search_mode.c:114-149; value = cp + 1
+
+
+def rolling_prefix(cps: np.ndarray, base: int, add: int = 0) -> tuple[np.ndarray, np.ndarray]:
+    """Build prefix/power tables: ``prefix[i+1] = prefix[i]*base + (cp+add)`` mod 2^64.
+
+    ref: src/block_tree_core.c:162-201 (base 31, add 0) and
+    src/search_mode.c:114-140 (base 1315423911, add 1). numpy uint64 wraps natively.
+    """
+    n = len(cps)
+    prefix = np.zeros(n + 1, dtype=np.uint64)
+    pow_ = np.ones(n + 1, dtype=np.uint64)
+    b = np.uint64(base)
+    a = np.uint64(add)
+    vals = cps.astype(np.uint64) + a
+    acc = np.uint64(0)
+    p = np.uint64(1)
+    with np.errstate(over="ignore"):
+        for i in range(n):
+            acc = acc * b + vals[i]
+            prefix[i + 1] = acc
+            p = p * b
+            pow_[i + 1] = p
+    return prefix, pow_
+
+
+def window_hash(prefix: np.ndarray, pow_: np.ndarray, start: int, end: int) -> int:
+    """O(1) window hash ``prefix[e] - prefix[s]*pow[e-s]`` mod 2^64
+    (ref: src/block_tree_core.c:90-97)."""
+    with np.errstate(over="ignore"):
+        return int(prefix[end] - prefix[start] * pow_[end - start])
+
+
+def window_hashes(
+    prefix: np.ndarray, pow_: np.ndarray, starts: np.ndarray, lengths: np.ndarray
+) -> np.ndarray:
+    """Vectorized window hashes for arrays of (start, length)."""
+    s = starts.astype(np.int64)
+    ln = lengths.astype(np.int64)
+    with np.errstate(over="ignore"):
+        return prefix[s + ln] - prefix[s] * pow_[ln]
+
+
+# ---------------------------------------------------------------------------
+# Unit extraction pipeline: squash → split(mode) → normalize → truncate → drop empty
+# (the per-url byte-identical invariant; ref: src/dedup.c:467-507,297-366)
+# ---------------------------------------------------------------------------
+
+MODES = ("sentence", "line", "paragraph", "document")
+
+
+def extract_units(raw: bytes, mode: str = "sentence", max_length: int = 0) -> list[bytes]:
+    """Full reference unit pipeline for one document. Returns normalized unit bytes in
+    document order (empty-normalization units dropped — P1/P2)."""
+    text = squash_newlines(raw)
+    if mode == "sentence":
+        spans = split_sentences(text)
+    elif mode == "line":
+        spans = split_lines(text)
+    elif mode == "paragraph":
+        spans = split_paragraphs(text)
+    elif mode == "document":
+        spans = [(0, len(text))] if text else []
+    else:
+        raise ValueError(f"unknown mode: {mode!r}")
+    units = []
+    for start, ln in spans:
+        norm = normalize_unit(text[start:start + ln], max_length)
+        if norm:
+            units.append(norm)
+    return units

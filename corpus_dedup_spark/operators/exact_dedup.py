@@ -1,0 +1,108 @@
+"""Exact unit-level deduplication — the reference's core capability, Spark-first.
+
+The reference's 16-shard global hash set (src/sentence_set.c:17-66) + racing worker
+threads (src/dedup.c:621-745) becomes ONE hash-partitioned shuffle: a window over the
+normalized unit bytes. First-wins ordering is made deterministic on (url, unit_idx) —
+strictly stronger than the reference's scheduling-dependent keeper (quirk Q3) while
+producing identical unique/duplicate counts, including the intra-file local-set rule
+(quirk Q2): any occurrence after the globally-first is a duplicate either way.
+
+Scale notes (100 TB): the single shuffle partitions by the unit bytes themselves —
+uniform by construction (hash of high-entropy text). The empty-norm filter (P1/P2) runs
+before the shuffle, killing the worst boilerplate key early. Unit rows carry only
+(url, unit_idx, norm_unit); the html/text columns are pruned before the explode.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from corpus_dedup_spark.functions.udfs import make_extract_units_udf
+
+
+def explode_units(pages: DataFrame, mode: str = "sentence", max_length: int = 0,
+                  text_col: str = "text", id_col: str = "url") -> DataFrame:
+    """pages(id, text, ...) → units(id, unit_idx, norm_unit).
+
+    Column-prunes to (id, text) before the UDF so the scan never reads html/binary
+    payloads; posexplode preserves document order for the deterministic keeper rule.
+    Empty units are already dropped inside the kernel (P1/P2).
+    """
+    extract = make_extract_units_udf(mode, max_length)
+    return (
+        pages.select(id_col, text_col)
+        .select(id_col, F.posexplode(extract(F.col(text_col))).alias("unit_idx", "norm_unit"))
+    )
+
+
+def mark_duplicates(units: DataFrame, id_col: str = "url") -> DataFrame:
+    """Add ``is_dup`` + ``keeper``: first occurrence by (id, unit_idx) wins globally.
+
+    This window IS the reference's global sentence set: partitionBy(norm_unit) hash-
+    partitions on the full normalized bytes (never trusting a 64-bit hash alone —
+    quirk Q6 comes free because the key is the content itself).
+    """
+    w = Window.partitionBy("norm_unit").orderBy(F.col(id_col).asc(), F.col("unit_idx").asc())
+    return units.withColumn("rn", F.row_number().over(w)).withColumn(
+        "is_dup", F.col("rn") > F.lit(1)
+    ).drop("rn")
+
+
+def dedup_units(units: DataFrame, id_col: str = "url") -> DataFrame:
+    """Keep-side only (the reference's written output units)."""
+    return mark_duplicates(units, id_col).filter(~F.col("is_dup")).drop("is_dup")
+
+
+def dedup_stats(units_marked: DataFrame) -> DataFrame:
+    """Global counters — mirrors the reference summary (src/dedup.c:1113-1141)."""
+    return units_marked.agg(
+        F.count("*").alias("total_units"),
+        F.count_if(~F.col("is_dup")).alias("unique_units"),
+        F.count_if(F.col("is_dup")).alias("duplicate_units"),
+        F.sum(F.length("norm_unit")).alias("bytes_processed"),
+    )
+
+
+def reassemble(units_kept: DataFrame, id_col: str = "url") -> DataFrame:
+    """Per-document output: kept units joined by \\n in document order
+    (the reference writes normalized units joined by newline — quirk Q4,
+    src/dedup.c:341-351). One groupBy shuffle on the document id."""
+    return (
+        units_kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("unit_idx", "norm_unit"))
+                    ),
+                    lambda s: s["norm_unit"].cast("string"),
+                ),
+                "\n",
+            ).alias("dedup_text"),
+            F.count("*").alias("n_units"),
+        )
+    )
+
+
+def run_exact_dedup(pages: DataFrame, mode: str = "sentence", max_length: int = 0,
+                    id_col: str = "url") -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Full reference-dedup pipeline: returns (marked_units, deduped_docs, stats)."""
+    units = explode_units(pages, mode, max_length, id_col=id_col)
+    marked = mark_duplicates(units, id_col)
+    kept = marked.filter(~F.col("is_dup")).drop("is_dup")
+    return marked, reassemble(kept, id_col), dedup_stats(marked)
+
+
+def verify_no_duplicates(deduped_docs: DataFrame, mode: str = "sentence",
+                         max_length: int = 0, id_col: str = "url") -> int:
+    """The reference's ``verify`` mode (src/verify_mode.c:370-561): re-split the
+    engine's own output and count duplicate units. Returns that count (must be 0)."""
+    units = explode_units(deduped_docs, mode, max_length,
+                          text_col="dedup_text", id_col=id_col)
+    dup_count = (
+        units.groupBy("norm_unit").count().filter(F.col("count") > 1)
+        .agg(F.coalesce(F.sum(F.col("count") - 1), F.lit(0)).alias("dups"))
+        .collect()[0]["dups"]
+    )
+    return int(dup_count)

@@ -1,0 +1,47 @@
+"""SparkSession builder with scale-appropriate defaults.
+
+Local testing runs on local[N]; the same conf ships to a multi-executor cluster via
+``spark-submit --py-files`` (nothing here is local-mode-specific except the master).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    app_name: str = "corpus_dedup_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        try:
+            shuffle_partitions = int(cpus) if master.startswith("local") else 200
+        except ValueError:
+            shuffle_partitions = 32
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # AQE: runtime coalesce + skew-join splitting — the engine's answer to the
+        # reference's hand-tuned shard sizing and work stealing.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow batches feed every pandas UDF — the whole UDF surface is vectorized.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
