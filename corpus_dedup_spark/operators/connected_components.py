@@ -1,0 +1,91 @@
+"""Iterative connected components over a DataFrame edge list (north-rule J6).
+
+Alternating large-star / small-star (Kiveris et al., "Connected Components in
+MapReduce and Beyond", public algorithm) — converges in O(log n) rounds and is
+skew-resistant: no per-node neighbor list is ever collected; each round is a
+groupBy-min plus an equi-join, both AQE-skew-splittable.
+
+Every round is eagerly localCheckpoint-ed to cut lineage (Catalyst cannot optimize
+across iterations — SURVEY.md §4 point 2).
+
+Node ids are any orderable type (string urls work; min() picks the lexicographically
+smallest member as the cluster id, which is deterministic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Attach every neighbor larger than u to u's minimum neighbor (or u itself)."""
+    both = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    mins = both.groupBy("src").agg(F.min("dst").alias("mn"))
+    mins = mins.withColumn("m", F.least("mn", "src")).drop("mn")
+    return (
+        both.join(mins, "src")
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient edges downward (u >= v) and attach all of u's neighbors + u to the min."""
+    oriented = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    ).where(F.col("src") != F.col("dst"))
+    mins = oriented.groupBy("src").agg(F.min("dst").alias("m"))
+    relink = (
+        oriented.join(mins, "src")
+        .where(F.col("dst") != F.col("m"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    )
+    self_link = mins.select(F.col("src"), F.col("m").alias("dst"))
+    return relink.union(self_link).distinct()
+
+
+def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
+                         max_iter: int = 25) -> DataFrame:
+    """edges(src, dst) → labels(node, cluster_id) for every node appearing in edges.
+
+    cluster_id = minimum node id in the component. Singleton nodes (no edges) are the
+    caller's concern (left-join labels back and coalesce to self).
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    if e.isEmpty():
+        return e.select(F.col("src").alias("node"), F.col("dst").alias("cluster_id"))
+
+    prev_sig = None
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint()
+        sig_row = e.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        sig = (sig_row["n"], sig_row["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+
+    # converged edge set is a star forest: src points at its root (dst)
+    roots = e.select(F.col("dst").alias("node")).distinct().withColumn(
+        "cluster_id", F.col("node")
+    )
+    members = e.select(F.col("src").alias("node"), F.col("dst").alias("cluster_id"))
+    return members.union(roots).distinct()
+
+
+def attach_labels(nodes: DataFrame, labels: DataFrame, node_col: str) -> DataFrame:
+    """Left-join component labels onto a node table; unlabeled nodes are singletons
+    (cluster_id = their own id)."""
+    return (
+        nodes.join(labels.withColumnRenamed("node", node_col), node_col, "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col(node_col)))
+    )

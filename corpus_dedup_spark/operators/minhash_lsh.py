@@ -1,0 +1,152 @@
+"""MinHash + LSH near-duplicate detection (north-rule core: H5/H6/J4/J5).
+
+Pipeline: units → shingle-hash sets → batched MinHash signatures (vectorized numpy in
+pandas UDFs) → band hashes → explode → bucket self-join (candidates) → exact shingle-set
+Jaccard verify (never trust hashes alone — quirk Q6 generalized) → edges.
+
+Scale design:
+- The bucket self-join shuffles on band_hash; hot buckets (boilerplate hosts) are CAPPED
+  at cfg.max_bucket_size and logged, bounding the quadratic blowup; AQE skew-join splits
+  the rest.
+- Exact duplicates are guaranteed caught: identical unit lists ⇒ identical shingle sets
+  ⇒ identical signatures ⇒ colliding in every band.
+- Verify joins candidates back to (sorted, distinct) shingle arrays and computes Jaccard
+  with JVM-side array_intersect/array_union sizes — no Python in the verify hot path.
+- Default 32 bands × 4 rows: P(candidate | J=0.8) = 1-(1-0.8^4)^32 ≈ 1-5e-8 — recall
+  headroom far beyond the ≥0.99 target.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
+
+from corpus_dedup_spark.config import DedupConfig
+from corpus_dedup_spark.functions.udfs import (_as_bytes, _shingle_hashes,
+                                               make_band_hashes_udf,
+                                               make_extract_units_udf,
+                                               make_minhash_udf)
+from corpus_dedup_spark import kernel
+
+
+def make_shingle_set_udf(cfg: DedupConfig):
+    """array<binary> units → array<int64> sorted distinct shingle hashes."""
+    k = cfg.shingle_k
+
+    @pandas_udf(ArrayType(LongType()))
+    def shingle_set(unit_lists: pd.Series) -> pd.Series:
+        out = []
+        for v in unit_lists:
+            v = v if v is not None else []
+            uh = kernel.fnv1a_many([_as_bytes(u) for u in v])
+            out.append(_shingle_hashes(uh, k).view(np.int64).tolist())
+        return pd.Series(out)
+
+    return shingle_set
+
+
+def doc_features(pages: DataFrame, cfg: DedupConfig, id_col: str = "url",
+                 text_col: str = "text") -> DataFrame:
+    """pages → (id, units, shingles, sig): one pass of the extraction+signature UDFs.
+
+    Columns are pruned to (id, text) first so scans never read html/binary payloads.
+    """
+    extract = make_extract_units_udf(cfg.mode, cfg.max_length)
+    shingle = make_shingle_set_udf(cfg)
+    minhash = make_minhash_udf(cfg)
+    return (
+        pages.select(id_col, text_col)
+        .withColumn("units", extract(F.col(text_col)))
+        .withColumn("shingles", shingle(F.col("units")))
+        .withColumn("sig", minhash(F.col("units")))
+        .drop(text_col)
+    )
+
+
+def band_explode(features: DataFrame, cfg: DedupConfig, id_col: str = "url") -> DataFrame:
+    """(id, sig) → (id, band_id, band_hash): one row per LSH band."""
+    bands = make_band_hashes_udf(cfg)
+    return features.select(
+        id_col, F.posexplode(bands(F.col("sig"))).alias("band_id", "band_hash")
+    )
+
+
+def candidate_pairs(bands_df: DataFrame, cfg: DedupConfig,
+                    id_col: str = "url") -> tuple[DataFrame, DataFrame]:
+    """Bucket self-join → distinct candidate pairs (id_a < id_b).
+
+    Returns (pairs, dropped_buckets): buckets larger than cfg.max_bucket_size are
+    excluded from the join and reported for lineage (skew cap — a 1M-member
+    boilerplate bucket would otherwise produce 10^12 pairs).
+    """
+    sizes = bands_df.groupBy("band_id", "band_hash").agg(F.count("*").alias("bucket_n"))
+    dropped = sizes.filter(F.col("bucket_n") > cfg.max_bucket_size)
+    ok = bands_df.join(
+        F.broadcast(dropped.select("band_id", "band_hash", F.lit(True).alias("_drop"))),
+        ["band_id", "band_hash"], "left",
+    ).filter(F.col("_drop").isNull()).drop("_drop")
+    left = ok.select("band_id", "band_hash", F.col(id_col).alias("id_a"))
+    right = ok.select("band_id", "band_hash", F.col(id_col).alias("id_b"))
+    pairs = (
+        left.join(right, ["band_id", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return pairs, dropped
+
+
+def verify_jaccard(pairs: DataFrame, features: DataFrame, cfg: DedupConfig,
+                   id_col: str = "url") -> DataFrame:
+    """Exact shingle-set Jaccard for every candidate pair (J5). JVM-side set math."""
+    sh = features.select(F.col(id_col), F.col("shingles"))
+    out = (
+        pairs.join(sh.withColumnRenamed(id_col, "id_a")
+                     .withColumnRenamed("shingles", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b")
+                .withColumnRenamed("shingles", "sh_b"), "id_b")
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("n_union", F.size(F.array_union("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.when(F.col("n_union") > 0,
+                   F.col("n_inter") / F.col("n_union")).otherwise(F.lit(0.0)),
+        )
+        .select("id_a", "id_b", "n_inter", "n_union", "jaccard")
+    )
+    return out
+
+
+def near_dup_edges(pages: DataFrame, cfg: DedupConfig,
+                   id_col: str = "url") -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Full LSH leg: returns (verified_pairs, features, dropped_buckets).
+
+    verified_pairs = candidates with exact Jaccard ≥ cfg.jaccard_threshold.
+    """
+    features = doc_features(pages, cfg, id_col)
+    bands_df = band_explode(features, cfg, id_col)
+    pairs, dropped = candidate_pairs(bands_df, cfg, id_col)
+    verified = verify_jaccard(pairs, features, cfg, id_col).filter(
+        F.col("jaccard") >= F.lit(cfg.jaccard_threshold)
+    )
+    return verified, features, dropped
+
+
+def near_dup_clusters(pages: DataFrame, cfg: DedupConfig,
+                      id_col: str = "url") -> DataFrame:
+    """LSH edges → connected components → (url, cluster_id) for ALL pages
+    (singletons cluster with themselves)."""
+    from corpus_dedup_spark.operators.connected_components import (
+        attach_labels, connected_components)
+
+    verified, _features, _dropped = near_dup_edges(pages, cfg, id_col)
+    labels = connected_components(
+        verified.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    return attach_labels(pages.select(id_col), labels, id_col).select(
+        id_col, "cluster_id"
+    )
