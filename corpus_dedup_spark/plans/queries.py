@@ -1,0 +1,496 @@
+"""Driver-contract query registry: Spark callables + DuckDB oracle SQL.
+
+Each entry exercises an operator from SURVEY.md §2 on the driver's parquet tables
+(documents / events / embeddings / lineitem ...). Column names are aliased identically
+on both sides — the driver sorts columns by name and value-hashes, so names and value
+representations must match exactly (integers preferred; floats rounded).
+
+Queries with no SQL-expressible oracle (MinHash signatures, LSH buckets, CC over LSH
+edges, block fingerprints) are registered in ROWS_ONLY — the driver records a weaker
+rows-only check and the pytest planted-truth harness covers their semantics.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from corpus_dedup_spark.config import DedupConfig
+
+SEARCH_QUERY = "table scan"  # no self-overlap (no proper border) → replace-count oracle
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# A1/J1 — first-wins dedup (document granularity: U4 + J1 window)
+# ---------------------------------------------------------------------------
+
+def q_doc_exact_dedup(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    w = Window.partitionBy("text").orderBy("doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id")
+    )
+
+
+SQL_DOC_EXACT_DEDUP = """
+SELECT doc_id FROM (
+  SELECT doc_id, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+  FROM documents
+) t WHERE rn = 1
+"""
+
+
+# A2/A3 — dup counters
+def q_doc_dup_stats(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return docs.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("text").alias("n_unique"),
+        (F.count("*") - F.countDistinct("text")).alias("n_dups"),
+    )
+
+
+SQL_DOC_DUP_STATS = """
+SELECT count(*) AS n_docs,
+       count(DISTINCT text) AS n_unique,
+       count(*) - count(DISTINCT text) AS n_dups
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# U-family on whitespace units (SQL-expressible stand-in for the splitter,
+# which is covered byte-exactly by the kernel golden tests)
+# ---------------------------------------------------------------------------
+
+def q_token_counts(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+
+
+SQL_TOKEN_COUNTS = """
+SELECT doc_id, len(str_split(text, ' ')) AS n_tokens FROM documents
+"""
+
+
+def q_unit_dedup_counts(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    units = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("unit")
+    ).filter(F.col("unit") != "")
+    return units.agg(
+        F.count("*").alias("n_total"),
+        F.countDistinct("unit").alias("n_unique"),
+        (F.count("*") - F.countDistinct("unit")).alias("n_dups"),
+    )
+
+
+SQL_UNIT_DEDUP_COUNTS = """
+SELECT count(*) AS n_total,
+       count(DISTINCT unit) AS n_unique,
+       count(*) - count(DISTINCT unit) AS n_dups
+FROM (SELECT unnest(str_split(text, ' ')) AS unit FROM documents)
+WHERE unit <> ''
+"""
+
+
+def q_unit_first_wins(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    units = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("unit")
+    ).filter(F.col("unit") != "")
+    return units.groupBy("unit").agg(
+        F.min("doc_id").alias("keeper_doc"),
+        F.count("*").alias("n_occurrences"),
+    )
+
+
+SQL_UNIT_FIRST_WINS = """
+SELECT unit, min(doc_id) AS keeper_doc, count(*) AS n_occurrences
+FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS unit FROM documents)
+WHERE unit <> ''
+GROUP BY unit
+"""
+
+
+def q_bigram_counts(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    # bigrams over 0-based array; sequence(0, n-2)
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat(F.element_at(toks, i + 1), F.lit(" "),
+                               F.element_at(toks, i + 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select(
+        "doc_id", F.size(F.array_distinct(bigrams)).alias("n_distinct_bigrams")
+    )
+
+
+SQL_BIGRAM_COUNTS = """
+SELECT doc_id,
+  len(list_distinct(CASE WHEN len(l) >= 2
+      THEN list_transform(generate_series(1, len(l) - 1), i -> l[i] || ' ' || l[i+1])
+      ELSE [] END)) AS n_distinct_bigrams
+FROM (SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS l
+      FROM documents)
+"""
+
+
+# ---------------------------------------------------------------------------
+# J5 — n-gram (token-set) Jaccard verify: integer arithmetic, band-limited pairs
+# ---------------------------------------------------------------------------
+
+def q_token_jaccard_pairs(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    units = (
+        docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    sizes = units.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = units.alias("a")
+    b = units.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("b.doc_id") > F.col("a.doc_id"))
+            & (F.col("b.doc_id") <= F.col("a.doc_id") + 20),
+        )
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "id_a")
+                        .withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b")
+                   .withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn("n_union", F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
+        # J >= 0.5 as integer arithmetic: 2*inter >= union
+        .filter(F.col("n_inter") * 2 >= F.col("n_union"))
+        .select("id_a", "id_b", "n_inter", "n_union")
+    )
+    return out
+
+
+SQL_TOKEN_JACCARD_PAIRS = """
+WITH u AS (
+  SELECT DISTINCT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents
+), u2 AS (SELECT * FROM u WHERE tok <> ''),
+sizes AS (SELECT doc_id, count(*) AS sz FROM u2 GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM u2 a JOIN u2 b
+    ON a.tok = b.tok AND b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 20
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_inter, sa.sz + sb.sz - n_inter AS n_union
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_inter * 2 >= sa.sz + sb.sz - n_inter
+"""
+
+
+# ---------------------------------------------------------------------------
+# J6 — REAL iterative connected components, oracle = min-over-equivalence-class
+# (buckets are equivalence classes, so the oracle is a window min; the Spark side
+# builds chain edges within each bucket and runs the large-star/small-star loop)
+# ---------------------------------------------------------------------------
+
+def q_cc_bucket_clusters(spark, sf_dir):
+    from corpus_dedup_spark.operators.connected_components import (
+        attach_labels, connected_components)
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "source", "lang", F.floor(F.col("n_chars") / 100).alias("bkt")
+    )
+    w = Window.partitionBy("source", "lang", "bkt").orderBy("doc_id")
+    edges = (
+        docs.withColumn("prev", F.lag("doc_id").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(F.col("prev").alias("src"), F.col("doc_id").alias("dst"))
+    )
+    labels = connected_components(edges)
+    return attach_labels(docs.select("doc_id"), labels, "doc_id").select(
+        "doc_id", "cluster_id"
+    )
+
+
+SQL_CC_BUCKET_CLUSTERS = """
+SELECT doc_id,
+       min(doc_id) OVER (PARTITION BY source, lang, CAST(floor(n_chars / 100) AS BIGINT))
+         AS cluster_id
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# J3/H4 — Rabin–Karp substring search via rolling-hash fingerprints + verify
+# ---------------------------------------------------------------------------
+
+def q_substring_search(spark, sf_dir):
+    import numpy as np
+
+    from corpus_dedup_spark import kernel
+    from corpus_dedup_spark.functions.udfs import make_window_fingerprints_udf
+
+    q = SEARCH_QUERY
+    q_cps = kernel.utf8_decode_buffer(q.encode())
+    qlen = len(q_cps)
+    q_prefix, _ = kernel.rolling_prefix(q_cps, kernel.SEARCH_HASH_BASE, add=1)
+    q_hash = int(np.uint64(q_prefix[qlen]).view(np.int64))
+
+    docs = _docs(spark, sf_dir)
+    fps = make_window_fingerprints_udf(qlen)
+    hits = (
+        docs.select("doc_id", "text", F.posexplode(fps(F.col("text"))).alias("pos", "whash"))
+        .filter(F.col("whash") == F.lit(q_hash))
+        # verify: rolling hash match is a candidate, not an answer (quirk Q6)
+        .filter(F.substring(F.col("text"), F.col("pos") + 1, qlen) == F.lit(q))
+    )
+    return hits.groupBy("doc_id").agg(F.count("*").alias("n_hits"))
+
+
+SQL_SUBSTRING_SEARCH = f"""
+SELECT doc_id,
+       CAST((length(text) - length(replace(text, '{SEARCH_QUERY}', '')))
+            / length('{SEARCH_QUERY}') AS BIGINT) AS n_hits
+FROM documents
+WHERE text LIKE '%{SEARCH_QUERY}%'
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: quality counters + BPE-ish token counting (integer outputs)
+# ---------------------------------------------------------------------------
+
+def q_quality_scores(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("len_chars"),
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))).alias("n_spaces"),
+        ((F.length("text") - F.length(F.replace(F.col("text"), F.lit("the"), F.lit("")))) / 3)
+        .cast("long").alias("n_the"),
+    )
+
+
+SQL_QUALITY_SCORES = """
+SELECT doc_id,
+       length(text) AS len_chars,
+       length(text) - length(replace(text, ' ', '')) AS n_spaces,
+       CAST((length(text) - length(replace(text, 'the', ''))) / 3 AS BIGINT) AS n_the
+FROM documents
+"""
+
+
+def q_token_count_bpe(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z0-9]+"), 0)).alias("n_bpe"),
+    )
+
+
+SQL_TOKEN_COUNT_BPE = """
+SELECT doc_id, len(regexp_extract_all(text, '[a-z0-9]+')) AS n_bpe FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Events: windowed aggregation (exact integer cents; hour bucket)
+# ---------------------------------------------------------------------------
+
+def q_event_hourly(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return ev.groupBy(
+        "event_type", F.hour("ts").alias("hr")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+    )
+
+
+SQL_EVENT_HOURLY = """
+SELECT event_type, CAST(hour(ts) AS INT) AS hr, count(*) AS n_events,
+       sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity: brute-force cosine top-1 (ANN baseline), f64, rounded
+# ---------------------------------------------------------------------------
+
+def q_embedding_top1(spark, sf_dir):
+    emb = _embeddings(spark, sf_dir)
+    probe = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+    )
+    base = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v))
+    pairs = (
+        probe.join(F.broadcast(base), F.col("id_a") != F.col("id_b"))
+        .withColumn("cos", dot / (norm(F.col("va")) * norm(F.col("vb"))))
+    )
+    w = Window.partitionBy("id_a").orderBy(F.col("cos").desc(), F.col("id_b").asc())
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("id_a").alias("vec_id"),
+            F.col("id_b").alias("nn_id"),
+            F.round(F.col("cos"), 4).alias("cos_r"),
+        )
+    )
+
+
+SQL_EMBEDDING_TOP1 = """
+WITH pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+     * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+    AS cos
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+  WHERE a.vec_id < 50
+)
+SELECT id_a AS vec_id, id_b AS nn_id, round(cos, 4) AS cos_r
+FROM (SELECT *, row_number() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b ASC) AS rn
+      FROM pairs) t
+WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Rows-only queries (no SQL oracle): signature/LSH/cluster/fingerprint stages
+# ---------------------------------------------------------------------------
+
+def _docs_as_pages(spark, sf_dir):
+    from corpus_dedup_spark.sources.pages import documents_as_pages
+
+    return documents_as_pages(spark, sf_dir)
+
+
+def q_minhash_signatures(spark, sf_dir):
+    from corpus_dedup_spark.operators.minhash_lsh import doc_features
+
+    cfg = DedupConfig()
+    feats = doc_features(_docs_as_pages(spark, sf_dir), cfg)
+    return feats.select(
+        "url",
+        F.size("sig").alias("sig_len"),
+        F.size("shingles").alias("n_shingles"),
+        F.xxhash64(F.col("sig").cast("array<string>").cast("string")).alias("sig_hash"),
+    )
+
+
+def q_lsh_candidates(spark, sf_dir):
+    from corpus_dedup_spark.operators.minhash_lsh import (band_explode,
+                                                          candidate_pairs,
+                                                          doc_features)
+
+    cfg = DedupConfig()
+    feats = doc_features(_docs_as_pages(spark, sf_dir), cfg)
+    pairs, _dropped = candidate_pairs(band_explode(feats, cfg), cfg)
+    return pairs
+
+
+def q_near_dup_clusters(spark, sf_dir):
+    from corpus_dedup_spark.operators.minhash_lsh import near_dup_clusters
+
+    cfg = DedupConfig(jaccard_threshold=0.5)
+    return near_dup_clusters(_docs_as_pages(spark, sf_dir), cfg)
+
+
+def q_sentence_dedup_pages(spark, sf_dir):
+    """The flagship reference pipeline (sentence mode) on documents-as-pages."""
+    from corpus_dedup_spark.operators.exact_dedup import run_exact_dedup
+
+    _marked, deduped, _stats = run_exact_dedup(_docs_as_pages(spark, sf_dir))
+    return deduped
+
+
+def q_simhash(spark, sf_dir):
+    from corpus_dedup_spark.functions.udfs import (make_extract_units_udf,
+                                                   simhash_udf)
+
+    pages = _docs_as_pages(spark, sf_dir)
+    extract = make_extract_units_udf()
+    return pages.select(
+        "url", simhash_udf(extract(F.col("text"))).alias("simhash")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "doc_exact_dedup": q_doc_exact_dedup,
+    "doc_dup_stats": q_doc_dup_stats,
+    "token_counts": q_token_counts,
+    "unit_dedup_counts": q_unit_dedup_counts,
+    "unit_first_wins": q_unit_first_wins,
+    "bigram_counts": q_bigram_counts,
+    "token_jaccard_pairs": q_token_jaccard_pairs,
+    "cc_bucket_clusters": q_cc_bucket_clusters,
+    "substring_search": q_substring_search,
+    "quality_scores": q_quality_scores,
+    "token_count_bpe": q_token_count_bpe,
+    "event_hourly": q_event_hourly,
+    "embedding_top1": q_embedding_top1,
+    # rows-only (non-SQL-expressible stages)
+    "minhash_signatures": q_minhash_signatures,
+    "lsh_candidates": q_lsh_candidates,
+    "near_dup_clusters": q_near_dup_clusters,
+    "sentence_dedup_pages": q_sentence_dedup_pages,
+    "simhash": q_simhash,
+}
+
+ORACLES: dict[str, str] = {
+    "doc_exact_dedup": SQL_DOC_EXACT_DEDUP,
+    "doc_dup_stats": SQL_DOC_DUP_STATS,
+    "token_counts": SQL_TOKEN_COUNTS,
+    "unit_dedup_counts": SQL_UNIT_DEDUP_COUNTS,
+    "unit_first_wins": SQL_UNIT_FIRST_WINS,
+    "bigram_counts": SQL_BIGRAM_COUNTS,
+    "token_jaccard_pairs": SQL_TOKEN_JACCARD_PAIRS,
+    "cc_bucket_clusters": SQL_CC_BUCKET_CLUSTERS,
+    "substring_search": SQL_SUBSTRING_SEARCH,
+    "quality_scores": SQL_QUALITY_SCORES,
+    "token_count_bpe": SQL_TOKEN_COUNT_BPE,
+    "event_hourly": SQL_EVENT_HOURLY,
+    "embedding_top1": SQL_EMBEDDING_TOP1,
+}
