@@ -1,0 +1,154 @@
+#!/usr/bin/env python
+"""Per-round benchmark: headline dedup pipelines + representative queries.
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+Prints ONE JSON line:
+  {"metric": "...", "value": <sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline = the end-to-end reference pipeline (sentence extract → normalize → global
+first-wins dedup → reassembly) plus the near-dup LSH+CC pipeline, over a deterministic
+synthetic web-pages table sized proportionally to sf (cached under .bench_cache/).
+Also reports docs/s and exact-pair recall as extra keys.
+
+Scaling evidence (N→4N cores): run `python bench.py --cores 8` and `--cores 32`
+on the same input; see BENCH.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def ensure_pages_cache(sf: float, seed: int = 42) -> tuple[str, str]:
+    """Generate (once) and cache the synthetic pages + truth tables for this sf."""
+    n_docs = max(1000, int(500_000 * sf))
+    tag = f"sf{sf}_n{n_docs}_seed{seed}"
+    pages_path = os.path.join(CACHE_DIR, f"pages_{tag}.parquet")
+    truth_path = os.path.join(CACHE_DIR, f"truth_{tag}.parquet")
+    if not (os.path.exists(pages_path) and os.path.exists(truth_path)):
+        os.makedirs(CACHE_DIR, exist_ok=True)
+        from corpus_dedup_spark.sources.pages import generate_pages
+
+        pages, truth_pairs, _clusters = generate_pages(n_docs, seed=seed)
+        # Spark can't read nanosecond parquet timestamps
+        pages["warc_ts"] = pages["warc_ts"].astype("datetime64[us]")
+        pages.to_parquet(pages_path, index=False)
+        truth_pairs.to_parquet(truth_path, index=False)
+    return pages_path, truth_path
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cores", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--sf-dir",
+                    default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--skip-queries", action="store_true")
+    args = ap.parse_args()
+
+    sf = _sf_from_dir(args.sf_dir)
+    pages_path, truth_path = ensure_pages_cache(sf)
+
+    from pyspark.sql import functions as F
+
+    from corpus_dedup_spark.config import DedupConfig
+    from corpus_dedup_spark.operators.exact_dedup import run_exact_dedup
+    from corpus_dedup_spark.operators.minhash_lsh import near_dup_clusters
+    from corpus_dedup_spark.plans.queries import QUERIES
+    from corpus_dedup_spark.plans.session import build_session
+
+    spark = build_session(
+        app_name=f"bench_c{args.cores}",
+        master=f"local[{args.cores}]",
+        shuffle_partitions=max(args.cores * 2, 8),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    pages = spark.read.parquet(pages_path)
+    n_docs = pages.count()
+    pages = pages.repartition(max(args.cores * 2, 8)).cache()
+    pages.count()  # warm cache so generation/IO is excluded from pipeline timings
+
+    # headline 1: reference exact-dedup pipeline end-to-end
+    t0 = time.time()
+    marked, deduped, stats = run_exact_dedup(pages)
+    stats_row = stats.collect()[0]
+    n_out = deduped.count()
+    t_exact = time.time() - t0
+    timings["pages_exact_dedup"] = round(t_exact, 3)
+
+    # headline 2: near-dup LSH + connected components
+    cfg = DedupConfig(jaccard_threshold=0.5)
+    t0 = time.time()
+    clusters = near_dup_clusters(pages, cfg)
+    clusters = clusters.cache()
+    n_clustered = clusters.count()
+    t_near = time.time() - t0
+    timings["pages_near_dup_clusters"] = round(t_near, 3)
+
+    # exact-pair recall vs planted truth (clusters agree ⇒ pair recalled)
+    truth = spark.read.parquet(truth_path)
+    lab = clusters
+    joined = (
+        truth.filter(F.col("kind") == "exact")
+        .join(lab.withColumnRenamed("url", "url_a")
+                 .withColumnRenamed("cluster_id", "c_a"), "url_a")
+        .join(lab.withColumnRenamed("url", "url_b")
+                 .withColumnRenamed("cluster_id", "c_b"), "url_b")
+    )
+    rec = joined.agg(
+        F.count("*").alias("n"),
+        F.count_if(F.col("c_a") == F.col("c_b")).alias("hit"),
+    ).collect()[0]
+    recall = (rec["hit"] / rec["n"]) if rec["n"] else 1.0
+
+    # representative operator queries on the driver's sf tables
+    if not args.skip_queries:
+        for qname in ("token_jaccard_pairs", "cc_bucket_clusters",
+                      "substring_search", "embedding_top1", "event_hourly",
+                      "sentence_dedup_pages"):
+            t0 = time.time()
+            QUERIES[qname](spark, args.sf_dir).count()
+            timings[qname] = round(time.time() - t0, 3)
+
+    total = t_exact + t_near
+    out = {
+        "metric": "e2e_dedup_wall_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_docs": n_docs,
+        "docs_per_sec": round(n_docs / total, 1) if total > 0 else None,
+        "docs_per_sec_exact": round(n_docs / t_exact, 1) if t_exact > 0 else None,
+        "unique_units": int(stats_row["unique_units"]),
+        "duplicate_units": int(stats_row["duplicate_units"]),
+        "n_docs_out": n_out,
+        "n_clustered": n_clustered,
+        "exact_pair_recall": round(recall, 5),
+        "cores": args.cores,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -92,6 +92,7 @@ def generate_pages(
     docs: list[list[str]] = list(base_docs)
     owner: list[int] = list(range(n_base))          # cluster root (base doc index)
     kinds: list[str] = ["base"] * n_base
+    copy_of: dict[int, int] = {}                    # exact-copy row → source row
 
     # exact whole-doc dup clusters, k ∈ {2,3,10}
     n_dup = int(n_docs * dup_frac)
@@ -100,6 +101,7 @@ def generate_pages(
         k = min(k, n_dup)
         src = int(rng.integers(0, n_base))
         for _ in range(k):
+            copy_of[len(docs)] = src
             docs.append(list(base_docs[src]))
             owner.append(src)
             kinds.append("exact")
@@ -134,6 +136,11 @@ def generate_pages(
     host_ids = rng.integers(1, 50, size=n_total)
     boiler = rng.random(n_total) < 0.2
     host_ids[boiler] = 0
+    # exact copies must be byte-identical to their source (incl. footer), so the
+    # planted truth kind 'exact' is sound: inherit the source row's host/footer
+    for row, src_row in copy_of.items():
+        host_ids[row] = host_ids[src_row]
+        boiler[row] = boiler[src_row]
     texts, urls = [], []
     for i in range(n_total):
         sents = list(docs[i])
