@@ -100,6 +100,29 @@ def _perm_params(cfg: DedupConfig) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
+def _signatures_from_shingle_sets(shingle_sets: list[np.ndarray],
+                                  a_params: np.ndarray, b_params: np.ndarray,
+                                  num_perm: int) -> np.ndarray:
+    """Batched MinHash: one (S_total × P) numpy pass for a whole Arrow batch.
+    Empty sets get the max-uint64 sentinel signature."""
+    n = len(shingle_sets)
+    s_counts = np.fromiter((len(s) for s in shingle_sets), dtype=np.int64, count=n)
+    total = int(s_counts.sum())
+    out = np.full((n, num_perm), np.iinfo(np.uint64).max, dtype=_U64)
+    if total:
+        hs = np.concatenate([s for s in shingle_sets if len(s)])
+        starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(s_counts[:-1], out=starts[1:])
+        nonempty = s_counts > 0
+        ne_starts = starts[nonempty]
+        with np.errstate(over="ignore"):
+            for p0 in range(0, num_perm, 16):
+                p1 = min(p0 + 16, num_perm)
+                m = hs[:, None] * a_params[None, p0:p1] + b_params[None, p0:p1]
+                out[nonempty, p0:p1] = np.minimum.reduceat(m, ne_starts, axis=0)
+    return out.view(np.int64)
+
+
 def make_minhash_udf(cfg: DedupConfig):
     """array<binary> units → array<int64> MinHash signature (num_perm values).
 
@@ -123,26 +146,46 @@ def make_minhash_udf(cfg: DedupConfig):
         for c in counts:
             shingle_sets.append(_shingle_hashes(uh[pos:pos + c], k))
             pos += c
-        s_counts = np.fromiter((len(s) for s in shingle_sets), dtype=np.int64,
-                               count=len(shingle_sets))
-        total = int(s_counts.sum())
-        out = np.full((len(lists), num_perm), np.iinfo(np.uint64).max, dtype=_U64)
-        if total:
-            hs = np.concatenate([s for s in shingle_sets if len(s)]) if total else None
-            starts = np.zeros(len(lists), dtype=np.int64)
-            np.cumsum(s_counts[:-1], out=starts[1:])
-            nonempty = s_counts > 0
-            ne_starts = starts[nonempty]
-            with np.errstate(over="ignore"):
-                for p0 in range(0, num_perm, 16):
-                    p1 = min(p0 + 16, num_perm)
-                    m = hs[:, None] * a_params[None, p0:p1] + b_params[None, p0:p1]
-                    mins = np.minimum.reduceat(m, ne_starts, axis=0)
-                    out[nonempty, p0:p1] = mins
-        sig = out.view(np.int64)
+        sig = _signatures_from_shingle_sets(shingle_sets, a_params, b_params, num_perm)
         return pd.Series(list(sig))
 
     return minhash_signature
+
+
+def make_features_udf(cfg: DedupConfig):
+    """FUSED text → struct(shingles, sig): extraction, shingling and MinHash in ONE
+    Arrow round-trip (three chained pandas UDFs cost 3× serialization of the unit
+    arrays; the fused kernel is the near-dup hot path)."""
+    from pyspark.sql.types import StructField, StructType
+
+    a_params, b_params = _perm_params(cfg)
+    k = cfg.shingle_k
+    num_perm = cfg.num_perm
+    mode, max_length = cfg.mode, cfg.max_length
+    schema = StructType([
+        StructField("shingles", ArrayType(LongType())),
+        StructField("sig", ArrayType(LongType())),
+    ])
+
+    @pandas_udf(schema)
+    def features(texts: pd.Series) -> pd.DataFrame:
+        unit_lists = [kernel.extract_units(_as_bytes(t), mode, max_length)
+                      for t in texts]
+        counts = [len(v) for v in unit_lists]
+        flat = [u for v in unit_lists for u in v]
+        uh = kernel.fnv1a_many(flat)
+        shingle_sets: list[np.ndarray] = []
+        pos = 0
+        for c in counts:
+            shingle_sets.append(_shingle_hashes(uh[pos:pos + c], k))
+            pos += c
+        sig = _signatures_from_shingle_sets(shingle_sets, a_params, b_params, num_perm)
+        return pd.DataFrame({
+            "shingles": [s.view(np.int64).tolist() for s in shingle_sets],
+            "sig": list(sig),
+        })
+
+    return features
 
 
 def make_band_hashes_udf(cfg: DedupConfig):

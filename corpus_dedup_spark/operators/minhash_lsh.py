@@ -51,19 +51,19 @@ def make_shingle_set_udf(cfg: DedupConfig):
 
 def doc_features(pages: DataFrame, cfg: DedupConfig, id_col: str = "url",
                  text_col: str = "text") -> DataFrame:
-    """pages → (id, units, shingles, sig): one pass of the extraction+signature UDFs.
+    """pages → (id, shingles, sig) in ONE fused pandas-UDF pass (extraction +
+    shingling + batched MinHash share a single Arrow round-trip).
 
     Columns are pruned to (id, text) first so scans never read html/binary payloads.
     """
-    extract = make_extract_units_udf(cfg.mode, cfg.max_length)
-    shingle = make_shingle_set_udf(cfg)
-    minhash = make_minhash_udf(cfg)
+    from corpus_dedup_spark.functions.udfs import make_features_udf
+
+    features = make_features_udf(cfg)
     return (
         pages.select(id_col, text_col)
-        .withColumn("units", extract(F.col(text_col)))
-        .withColumn("shingles", shingle(F.col("units")))
-        .withColumn("sig", minhash(F.col("units")))
-        .drop(text_col)
+        .withColumn("_f", features(F.col(text_col)))
+        .select(id_col, F.col("_f.shingles").alias("shingles"),
+                F.col("_f.sig").alias("sig"))
     )
 
 
@@ -83,12 +83,24 @@ def candidate_pairs(bands_df: DataFrame, cfg: DedupConfig,
     excluded from the join and reported for lineage (skew cap — a 1M-member
     boilerplate bucket would otherwise produce 10^12 pairs).
     """
-    sizes = bands_df.groupBy("band_id", "band_hash").agg(F.count("*").alias("bucket_n"))
-    dropped = sizes.filter(F.col("bucket_n") > cfg.max_bucket_size)
-    ok = bands_df.join(
-        F.broadcast(dropped.select("band_id", "band_hash", F.lit(True).alias("_drop"))),
-        ["band_id", "band_hash"], "left",
-    ).filter(F.col("_drop").isNull()).drop("_drop")
+    from pyspark.sql import Window
+
+    # one shuffle on the bucket key sizes every bucket; the self-join below reuses
+    # that partitioning. localCheckpoint materializes the capped band table once so
+    # the self-join's two sides don't recompute the UDF lineage twice.
+    counted = bands_df.withColumn(
+        "bucket_n", F.count("*").over(Window.partitionBy("band_id", "band_hash"))
+    )
+    ok = (
+        counted.filter(F.col("bucket_n") <= cfg.max_bucket_size)
+        .drop("bucket_n")
+        .localCheckpoint()
+    )
+    dropped = (
+        counted.filter(F.col("bucket_n") > cfg.max_bucket_size)
+        .groupBy("band_id", "band_hash")
+        .agg(F.count("*").alias("bucket_n"))
+    )
     left = ok.select("band_id", "band_hash", F.col(id_col).alias("id_a"))
     right = ok.select("band_id", "band_hash", F.col(id_col).alias("id_b"))
     pairs = (
@@ -127,7 +139,8 @@ def near_dup_edges(pages: DataFrame, cfg: DedupConfig,
 
     verified_pairs = candidates with exact Jaccard ≥ cfg.jaccard_threshold.
     """
-    features = doc_features(pages, cfg, id_col)
+    # features feed both the band explode and the verify join — materialize once
+    features = doc_features(pages, cfg, id_col).localCheckpoint()
     bands_df = band_explode(features, cfg, id_col)
     pairs, dropped = candidate_pairs(bands_df, cfg, id_col)
     verified = verify_jaccard(pairs, features, cfg, id_col).filter(
