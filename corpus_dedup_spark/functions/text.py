@@ -1,0 +1,162 @@
+"""Text-analysis operators for training-data pipelines: language-ID, quality scoring,
+token counting, document fingerprinting.
+
+Everything here is either a JVM-side column expression (whole-stage-codegen friendly —
+the hot path never leaves Tungsten) or, where byte-level parity is needed
+(fingerprints), a vectorized pandas UDF over the parity kernels.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+from corpus_dedup_spark import kernel
+
+# ---------------------------------------------------------------------------
+# Language ID: marker-word n-gram heuristic (pure column expressions)
+# ---------------------------------------------------------------------------
+
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of ", " to ", " is "],
+    "es": [" el ", " la ", " de ", " que ", " los "],
+    "de": [" der ", " die ", " und ", " das ", " ist "],
+    "fr": [" le ", " la ", " les ", " des ", " est "],
+    "uk": [" і ", " та ", " що ", " це ", " він "],
+}
+_CJK_RANGE = "[\\u4e00-\\u9fff\\u3040-\\u30ff]"
+_ARABIC_RANGE = "[\\u0600-\\u06ff]"
+_CYRILLIC_RANGE = "[\\u0400-\\u04ff]"
+
+
+def _marker_score(text: Column, markers: list[str]) -> Column:
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    score = F.lit(0)
+    for m in markers:
+        # occurrence count via length arithmetic (JVM-side, no UDF)
+        score = score + (F.length(padded) - F.length(F.replace(padded, F.lit(m), F.lit("")))) / len(m)
+    return score.cast("long")
+
+
+def lang_id_expr(text: Column) -> Column:
+    """Heuristic language label: script detection first (CJK/Arabic/Cyrillic by
+    codepoint-class density), then stopword-marker votes for Latin-script languages.
+    Returns 'und' when nothing scores."""
+    n = F.length(text)
+    cjk = F.length(F.regexp_replace(text, _CJK_RANGE, "")) < n * 0.7
+    ar = F.length(F.regexp_replace(text, _ARABIC_RANGE, "")) < n * 0.7
+    cy = F.length(F.regexp_replace(text, _CYRILLIC_RANGE, "")) < n * 0.7
+    scores = [(lang, _marker_score(text, m)) for lang, m in _LANG_MARKERS.items()]
+    best = F.greatest(*[s for _, s in scores])
+    latin_pick = F.lit("und")
+    # reverse order so earlier languages win ties deterministically
+    for lang, s in reversed(scores):
+        latin_pick = F.when(s == best, F.lit(lang)).otherwise(latin_pick)
+    return (
+        F.when(n.isNull() | (n == 0), F.lit("und"))
+        .when(cjk, F.lit("zh"))
+        .when(ar, F.lit("ar"))
+        .when(cy, F.lit("uk"))
+        .when(best > 0, latin_pick)
+        .otherwise(F.lit("und"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring (length / punct / stopword / word-shape ratios)
+# ---------------------------------------------------------------------------
+
+def quality_features(text: Column) -> dict[str, Column]:
+    n = F.length(text)
+    n_alpha = n - F.length(F.regexp_replace(text, "[A-Za-z]", ""))
+    n_digit = n - F.length(F.regexp_replace(text, "[0-9]", ""))
+    n_punct = n - F.length(F.regexp_replace(text, "[\\.,;:!\\?\"'()\\[\\]{}]", ""))
+    n_space = n - F.length(F.replace(text, F.lit(" "), F.lit("")))
+    n_words = F.size(F.filter(F.split(text, "\\s+"), lambda w: w != ""))
+    stop_hits = _marker_score(text, _LANG_MARKERS["en"])
+    return {
+        "n_chars": n,
+        "n_words": n_words,
+        "alpha_ratio": (n_alpha / F.greatest(n, F.lit(1))).cast("double"),
+        "digit_ratio": (n_digit / F.greatest(n, F.lit(1))).cast("double"),
+        "punct_ratio": (n_punct / F.greatest(n, F.lit(1))).cast("double"),
+        "mean_word_len": ((n - n_space) / F.greatest(n_words, F.lit(1))).cast("double"),
+        "stopword_ratio": (stop_hits / F.greatest(n_words, F.lit(1))).cast("double"),
+    }
+
+
+def quality_score_expr(text: Column) -> Column:
+    """Composite [0,1] quality score — boilerplate/garbage pages score low.
+    Heuristic mirrors common web-corpus filters (length band, alpha density,
+    stopword presence, sane word length)."""
+    f = quality_features(text)
+    len_ok = F.when((f["n_chars"] >= 200) & (f["n_chars"] <= 100000), 1.0) \
+        .when(f["n_chars"] >= 50, 0.5).otherwise(0.0)
+    alpha_ok = F.when(f["alpha_ratio"] >= 0.6, 1.0) \
+        .when(f["alpha_ratio"] >= 0.4, 0.5).otherwise(0.0)
+    stop_ok = F.when(f["stopword_ratio"] >= 0.05, 1.0)\
+        .when(f["stopword_ratio"] > 0, 0.5).otherwise(0.0)
+    wordlen_ok = F.when((f["mean_word_len"] >= 3) & (f["mean_word_len"] <= 12), 1.0) \
+        .otherwise(0.0)
+    return ((len_ok + alpha_ok + stop_ok + wordlen_ok) / 4.0).alias("quality")
+
+
+# ---------------------------------------------------------------------------
+# Token counting (whitespace + BPE-ish regex; pure expressions)
+# ---------------------------------------------------------------------------
+
+BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]"
+
+
+def token_count_ws(text: Column) -> Column:
+    return F.size(F.filter(F.split(text, "\\s+"), lambda w: w != "")).alias("n_tokens_ws")
+
+
+def token_count_bpe(text: Column) -> Column:
+    """Approximate BPE token count: alpha runs + short digit groups + single
+    punctuation, scaled by the empirical ~1.3 subword/word factor is left to callers."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0)).alias("n_tokens_bpe")
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting
+# ---------------------------------------------------------------------------
+
+@pandas_udf(LongType())
+def rolling_fingerprint_udf(texts: pd.Series) -> pd.Series:
+    """Whole-document rolling hash (base-31 mod 2^64 over codepoints of the squashed,
+    normalized text — H2 constants, ref src/block_tree_core.c:162-201)."""
+    out = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        raw = (t or "").encode("utf-8")
+        norm = kernel.normalize_unit(kernel.squash_newlines(raw))
+        cps = kernel.utf8_decode_buffer(norm)
+        prefix, _ = kernel.rolling_prefix(cps, kernel.BLOCK_HASH_BASE)
+        out[i] = np.int64(np.uint64(prefix[len(cps)]).view(np.int64))
+    return pd.Series(out)
+
+
+def content_fingerprint_expr(text: Column) -> Column:
+    """Fast JVM-side content fingerprint: xxhash64 of the whitespace-normalized text.
+    Use for exact-dup blocking when bit-parity with the reference hash isn't needed."""
+    norm = F.regexp_replace(F.trim(text), "\\s+", " ")
+    return F.xxhash64(norm).alias("fingerprint")
+
+
+def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full analysis column set to a document DataFrame."""
+    c = F.col(text_col)
+    feats = quality_features(c)
+    return df.select(
+        "*",
+        lang_id_expr(c).alias("lang_pred"),
+        quality_score_expr(c),
+        token_count_ws(c),
+        token_count_bpe(c),
+        content_fingerprint_expr(c),
+        *[v.alias(k) for k, v in feats.items() if k not in ("n_chars",)],
+    )

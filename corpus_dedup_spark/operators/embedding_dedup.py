@@ -1,0 +1,147 @@
+"""Embedding-space similarity: brute-force cosine top-k (baseline) and a random-
+hyperplane-LSH bucketed variant (the scale path), plus embedding-cosine near-dup pairs.
+
+Scale story: brute-force is O(N·M) — correct but only for small probe sets or as a
+per-bucket kernel. The LSH variant buckets vectors by sign-pattern of h random
+hyperplanes (deterministic seed), turning global top-k into a bucket-local join —
+the same candidates-then-verify shape as MinHash/LSH (J4/J5). Multi-probe (flipping
+low-margin bits) trades recall for fan-out.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
+
+
+def _cosine_expr(a, b):
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x.cast("double") * x.cast("double")),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    return dot / (na * nb)
+
+
+def brute_force_topk(vectors: DataFrame, probes: DataFrame, k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(probe_id, neighbor_id, cosine, rank): exact top-k by cosine.
+
+    probes is expected small → broadcast; the scan side stays partitioned. For
+    all-pairs top-k at scale use :func:`lsh_ann_topk`.
+    """
+    p = probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pv"))
+    v = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+    pairs = v.join(F.broadcast(p), F.col("probe_id") != F.col("neighbor_id"))
+    scored = pairs.withColumn("cosine", _cosine_expr(F.col("pv"), F.col("nv")))
+    w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(),
+                                               F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def make_hyperplane_bucket_udf(dim: int, n_planes: int = 16, seed: int = 7,
+                               n_tables: int = 1):
+    """array<float> → array<int64> of n_tables bucket ids (one per independent
+    hyperplane set). Multi-table LSH: P(neighbor missed in all tables) =
+    (1 - (1-θ/π)^n_planes)^n_tables. Vectorized: one
+    (batch × dim) @ (dim × tables·planes) matmul per Arrow batch."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_tables * n_planes))
+
+    @pandas_udf(ArrayType(LongType()))
+    def bucket(vecs: pd.Series) -> pd.Series:
+        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        if mat.size == 0:
+            return pd.Series([[] for _ in range(len(vecs))])
+        signs = (mat @ planes) > 0  # (n, tables*planes)
+        n = signs.shape[0]
+        out = np.zeros((n, n_tables), dtype=np.int64)
+        for t in range(n_tables):
+            s = signs[:, t * n_planes:(t + 1) * n_planes]
+            bits = np.packbits(s, axis=1, bitorder="little")
+            padded = np.zeros((n, 8), dtype=np.uint8)
+            padded[:, :bits.shape[1]] = bits
+            # salt the bucket id with the table index so tables never cross-match
+            out[:, t] = padded.view(np.int64).ravel() * np.int64(1099511628211) \
+                + np.int64(t)
+        return pd.Series(list(out))
+
+    return bucket
+
+
+def _bucketed(vectors: DataFrame, n_planes: int, n_tables: int, seed: int,
+              id_col: str, vec_col: str) -> DataFrame:
+    dim = len(vectors.select(vec_col).first()[0])
+    bucket = make_hyperplane_bucket_udf(dim, n_planes, seed, n_tables)
+    return vectors.select(
+        F.col(id_col), F.col(vec_col),
+        F.explode(bucket(F.col(vec_col))).alias("bucket"),
+    ).localCheckpoint()
+
+
+def lsh_ann_topk(vectors: DataFrame, k: int = 10, n_planes: int = 12,
+                 n_tables: int = 4, seed: int = 7,
+                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate all-pairs top-k: multi-table hyperplane buckets, exact cosine
+    within buckets, candidates deduped across tables before scoring. Recall rises
+    with n_tables and falls with n_planes (bucket granularity)."""
+    b = _bucketed(vectors, n_planes, n_tables, seed, id_col, vec_col)
+    left = b.select("bucket", F.col(id_col).alias("probe_id"))
+    right = b.select("bucket", F.col(id_col).alias("neighbor_id"))
+    cand = (
+        left.join(right, "bucket")
+        .filter(F.col("probe_id") != F.col("neighbor_id"))
+        .select("probe_id", "neighbor_id")
+        .distinct()
+    )
+    v = vectors.select(F.col(id_col), F.col(vec_col))
+    scored = (
+        cand.join(v.select(F.col(id_col).alias("probe_id"),
+                           F.col(vec_col).alias("pv")), "probe_id")
+        .join(v.select(F.col(id_col).alias("neighbor_id"),
+                       F.col(vec_col).alias("nv")), "neighbor_id")
+        .withColumn("cosine", _cosine_expr(F.col("pv"), F.col("nv")))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(),
+                                               F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def embedding_dup_pairs(vectors: DataFrame, threshold: float = 0.95,
+                        n_planes: int = 10, n_tables: int = 4, seed: int = 7,
+                        id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-dup pairs (id_a < id_b, cosine ≥ threshold), multi-table
+    LSH-bucketed. P(pair missed) = (1 - (1-θ/π)^n_planes)^n_tables — e.g. cosine 0.99
+    with 10 planes × 4 tables misses < 1%."""
+    b = _bucketed(vectors, n_planes, n_tables, seed, id_col, vec_col)
+    left = b.select("bucket", F.col(id_col).alias("id_a"))
+    right = b.select("bucket", F.col(id_col).alias("id_b"))
+    cand = (
+        left.join(right, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    v = vectors.select(F.col(id_col), F.col(vec_col))
+    return (
+        cand.join(v.select(F.col(id_col).alias("id_a"),
+                           F.col(vec_col).alias("va")), "id_a")
+        .join(v.select(F.col(id_col).alias("id_b"),
+                       F.col(vec_col).alias("vb")), "id_b")
+        .withColumn("cosine", _cosine_expr(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

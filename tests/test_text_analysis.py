@@ -1,0 +1,74 @@
+"""Text analysis: language-ID, quality, token counts, fingerprints."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from corpus_dedup_spark.functions.text import (content_fingerprint_expr,
+                                               lang_id_expr,
+                                               quality_score_expr,
+                                               rolling_fingerprint_udf,
+                                               text_profile, token_count_bpe,
+                                               token_count_ws)
+
+
+@pytest.fixture(scope="module")
+def samples(spark):
+    return spark.createDataFrame(
+        [("en", "The quick brown fox jumps over the lazy dog and the cat is here. " * 6),
+         ("es", "El perro corre por la calle y los gatos que viven de la casa. " * 6),
+         ("de", "Der Hund und die Katze sind das beste Team und das ist gut. " * 6),
+         ("zh", "这是一个测试文档。它包含中文文本。我们用它来测试语言识别。" * 6),
+         ("ar", "هذا نص تجريبي باللغة العربية للاختبار والتقييم " * 6),
+         ("uk", "Це тестовий документ і він містить текст що написаний українською. " * 6),
+         ("junk", "@@@@ #### $$$$ %%%% ^^^^ &&&& 1234567890"),
+         ("empty", "")],
+        ["label", "text"])
+
+
+def test_lang_id(spark, samples):
+    got = {r["label"]: r["lang"] for r in
+           samples.select("label", lang_id_expr(F.col("text")).alias("lang")).collect()}
+    assert got["en"] == "en"
+    assert got["es"] == "es"
+    assert got["de"] == "de"
+    assert got["zh"] == "zh"
+    assert got["ar"] == "ar"
+    assert got["uk"] == "uk"
+    assert got["empty"] == "und"
+
+
+def test_quality_score(spark, samples):
+    got = {r["label"]: r["quality"] for r in
+           samples.select("label", quality_score_expr(F.col("text"))).collect()}
+    assert got["en"] > got["junk"]
+    assert got["empty"] == 0.0
+    assert 0.0 <= min(got.values()) and max(got.values()) <= 1.0
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([("a", "Hello world, it's 2024!")], ["id", "text"])
+    row = df.select(token_count_ws(F.col("text")),
+                    token_count_bpe(F.col("text"))).collect()[0]
+    assert row["n_tokens_ws"] == 4
+    # Hello | world | , | it | ' | s | 202 | 4 | !   (digit groups capped at 3,
+    # mimicking BPE-style number chunking)
+    assert row["n_tokens_bpe"] == 9
+
+
+def test_fingerprints_stable_under_whitespace(spark):
+    df = spark.createDataFrame(
+        [("a", "hello   world\nfoo"), ("b", "hello world foo"), ("c", "different")],
+        ["id", "text"])
+    rows = df.select("id", content_fingerprint_expr(F.col("text")),
+                     rolling_fingerprint_udf(F.col("text")).alias("roll")).collect()
+    by_id = {r["id"]: r for r in rows}
+    assert by_id["a"]["fingerprint"] == by_id["b"]["fingerprint"]
+    assert by_id["a"]["roll"] == by_id["b"]["roll"]
+    assert by_id["a"]["roll"] != by_id["c"]["roll"]
+
+
+def test_text_profile_runs(spark, samples):
+    out = text_profile(samples)
+    assert {"lang_pred", "quality", "n_tokens_ws", "n_tokens_bpe", "fingerprint",
+            "alpha_ratio", "stopword_ratio"} <= set(out.columns)
+    assert out.count() == samples.count()
