@@ -393,6 +393,78 @@ WHERE rn = 1
 """
 
 
+def q_norm_doc_dedup(spark, sf_dir):
+    """Whitespace-normalized document dedup (U5-style normalize + J1 window)."""
+    docs = _docs(spark, sf_dir)
+    norm = F.regexp_replace(F.trim(F.col("text")), "\\s+", " ")
+    w = Window.partitionBy(norm).orderBy("doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id")
+    )
+
+
+SQL_NORM_DOC_DEDUP = r"""
+SELECT doc_id FROM (
+  SELECT doc_id, row_number() OVER (
+    PARTITION BY regexp_replace(trim(text), '\s+', ' ', 'g') ORDER BY doc_id) AS rn
+  FROM documents
+) t WHERE rn = 1
+"""
+
+
+def q_event_sessions(spark, sf_dir):
+    """Sessionization (30-min gap) — the window-function workhorse."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_s = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        ev.withColumn("new_s", new_s)
+        .groupBy("user_id")
+        .agg(F.sum("new_s").alias("n_sessions"), F.count("*").alias("n_events"))
+    )
+
+
+SQL_EVENT_SESSIONS = """
+WITH g AS (
+  SELECT user_id,
+    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+           OR epoch(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+              > 1800
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+)
+SELECT user_id, sum(new_s) AS n_sessions, count(*) AS n_events FROM g GROUP BY user_id
+"""
+
+
+def q_tpch_pricing(spark, sf_dir):
+    """TPC-H Q1-shaped aggregate (integer cents for exactness)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.round(F.col("l_quantity")).cast("long")).alias("sum_qty"),
+            F.sum(cents).alias("sum_price_cents"),
+        )
+    )
+
+
+SQL_TPCH_PRICING = """
+SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+       sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Rows-only queries (no SQL oracle): signature/LSH/cluster/fingerprint stages
 # ---------------------------------------------------------------------------
@@ -453,6 +525,45 @@ def q_simhash(spark, sf_dir):
     )
 
 
+def q_text_profile(spark, sf_dir):
+    from corpus_dedup_spark.functions.text import text_profile
+
+    return text_profile(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
+def q_embedding_ann(spark, sf_dir):
+    from corpus_dedup_spark.operators.embedding_dedup import lsh_ann_topk
+
+    emb = _embeddings(spark, sf_dir)
+    return lsh_ann_topk(emb, k=3, n_planes=8, n_tables=2)
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing over synthetic media derived from documents (payload =
+    utf-8 text bytes; deterministic fake decoder)."""
+    from corpus_dedup_spark.multimodal.ops import extract_media_features
+
+    docs = _docs(spark, sf_dir).limit(200)
+    media = docs.select(
+        F.concat(F.lit("m"), F.col("doc_id").cast("string")).alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.lit("image/png").alias("mime"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.lit(64).cast("long").alias("width"),
+        F.lit(64).cast("long").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+    return extract_media_features(media, fake=True).drop("features")
+
+
+def q_block_tree_stats(spark, sf_dir):
+    from corpus_dedup_spark.operators.block_tree import (build_block_tree,
+                                                         tree_stats)
+
+    pages = _docs_as_pages(spark, sf_dir).limit(50)
+    return tree_stats(build_block_tree(pages))
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -471,12 +582,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_count_bpe": q_token_count_bpe,
     "event_hourly": q_event_hourly,
     "embedding_top1": q_embedding_top1,
+    "norm_doc_dedup": q_norm_doc_dedup,
+    "event_sessions": q_event_sessions,
+    "tpch_pricing": q_tpch_pricing,
     # rows-only (non-SQL-expressible stages)
     "minhash_signatures": q_minhash_signatures,
     "lsh_candidates": q_lsh_candidates,
     "near_dup_clusters": q_near_dup_clusters,
     "sentence_dedup_pages": q_sentence_dedup_pages,
     "simhash": q_simhash,
+    "text_profile": q_text_profile,
+    "embedding_ann": q_embedding_ann,
+    "media_features": q_media_features,
+    "block_tree_stats": q_block_tree_stats,
 }
 
 ORACLES: dict[str, str] = {
@@ -493,4 +611,7 @@ ORACLES: dict[str, str] = {
     "token_count_bpe": SQL_TOKEN_COUNT_BPE,
     "event_hourly": SQL_EVENT_HOURLY,
     "embedding_top1": SQL_EMBEDDING_TOP1,
+    "norm_doc_dedup": SQL_NORM_DOC_DEDUP,
+    "event_sessions": SQL_EVENT_SESSIONS,
+    "tpch_pricing": SQL_TPCH_PRICING,
 }
