@@ -161,7 +161,7 @@ def _skip_closing_punct(data: bytes, i: int, n: int) -> int:
 
 
 def _is_ascii_alpha(b: int) -> bool:
-    return ord("a") <= (b | 0x20) <= ord("z")
+    return 97 <= (b | 0x20) <= 122
 
 
 def _should_block_split_on_dot(
@@ -174,7 +174,7 @@ def _should_block_split_on_dot(
     ln = 0
     p = dot_pos
     while p > sentence_start:
-        if not _is_ascii_alpha(data[p - 1]):
+        if not 97 <= (data[p - 1] | 0x20) <= 122:
             break
         ln += 1
         if ln > 3:
@@ -183,7 +183,7 @@ def _should_block_split_on_dot(
     if ln == 0 or ln > 3:
         return False
     c = data[next_non_space]
-    if ord("a") <= c <= ord("z"):
+    if 97 <= c <= 122:
         return True
     word = data[dot_pos - ln:dot_pos].lower()
     return word in (_ABBREV_2 if ln == 2 else _ABBREV_3) if ln in (2, 3) else False

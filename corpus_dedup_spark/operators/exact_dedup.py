@@ -86,10 +86,19 @@ def reassemble(units_kept: DataFrame, id_col: str = "url") -> DataFrame:
 
 
 def run_exact_dedup(pages: DataFrame, mode: str = "sentence", max_length: int = 0,
-                    id_col: str = "url") -> tuple[DataFrame, DataFrame, DataFrame]:
-    """Full reference-dedup pipeline: returns (marked_units, deduped_docs, stats)."""
+                    id_col: str = "url",
+                    materialize: bool = True) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Full reference-dedup pipeline: returns (marked_units, deduped_docs, stats).
+
+    With ``materialize`` (default) the marked-units table is localCheckpoint-ed once:
+    all three outputs share it, so the extraction UDF and the dedup shuffle run
+    exactly once even when the caller triggers several actions (in production this is
+    the pipeline's ``units`` stage checkpoint — see plans/pipeline.py).
+    """
     units = explode_units(pages, mode, max_length, id_col=id_col)
     marked = mark_duplicates(units, id_col)
+    if materialize:
+        marked = marked.localCheckpoint()
     kept = marked.filter(~F.col("is_dup")).drop("is_dup")
     return marked, reassemble(kept, id_col), dedup_stats(marked)
 

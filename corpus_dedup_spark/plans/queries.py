@@ -170,16 +170,22 @@ def q_token_jaccard_pairs(spark, sf_dir):
         .distinct()
     )
     sizes = units.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = units.alias("a")
-    b = units.alias("b")
+    # Block the ±20-id band into /20 buckets so the range predicate becomes part of
+    # the equi-join key (tok, block): without this, Spark nest-loops the range filter
+    # inside each token's group — quadratic in token document-frequency.
+    a = units.select(
+        F.col("doc_id").alias("id_a"), F.col("tok"),
+        F.explode(F.array(F.floor(F.col("doc_id") / 20),
+                          F.floor(F.col("doc_id") / 20) + 1)).alias("blk"),
+    )
+    b = units.select(
+        F.col("doc_id").alias("id_b"), F.col("tok"),
+        F.floor(F.col("doc_id") / 20).alias("blk"),
+    )
     inter = (
-        a.join(
-            b,
-            (F.col("a.tok") == F.col("b.tok"))
-            & (F.col("b.doc_id") > F.col("a.doc_id"))
-            & (F.col("b.doc_id") <= F.col("a.doc_id") + 20),
-        )
-        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        a.join(b, ["tok", "blk"])
+        .where((F.col("id_b") > F.col("id_a")) & (F.col("id_b") <= F.col("id_a") + 20))
+        .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_inter"))
     )
     out = (
