@@ -49,9 +49,35 @@ def mark_duplicates(units: DataFrame, id_col: str = "url") -> DataFrame:
     ).drop("rn")
 
 
+def dedup_keepers(units: DataFrame, id_col: str = "url") -> DataFrame:
+    """One row per distinct normalized unit with its deterministic keeper and
+    occurrence count: (norm_unit, id, unit_idx, n_occ).
+
+    Semantically identical to the window in :func:`mark_duplicates` but expressed as
+    ``groupBy(norm_unit).agg(min(struct(id, unit_idx)))`` — a hash aggregation with
+    MAP-SIDE PARTIAL COMBINE, so duplicate-heavy unit streams shrink before the
+    shuffle. At 100 TB this is the difference between shuffling every occurrence and
+    shuffling roughly the distinct set. Use mark_duplicates only when per-occurrence
+    rows are required (duplicates sink / verify listings).
+    """
+    return (
+        units.groupBy("norm_unit")
+        .agg(
+            F.min(F.struct(F.col(id_col), F.col("unit_idx"))).alias("_keeper"),
+            F.count("*").alias("n_occ"),
+        )
+        .select(
+            "norm_unit",
+            F.col(f"_keeper.{id_col}").alias(id_col),
+            F.col("_keeper.unit_idx").alias("unit_idx"),
+            "n_occ",
+        )
+    )
+
+
 def dedup_units(units: DataFrame, id_col: str = "url") -> DataFrame:
     """Keep-side only (the reference's written output units)."""
-    return mark_duplicates(units, id_col).filter(~F.col("is_dup")).drop("is_dup")
+    return dedup_keepers(units, id_col).drop("n_occ")
 
 
 def dedup_stats(units_marked: DataFrame) -> DataFrame:
@@ -61,6 +87,16 @@ def dedup_stats(units_marked: DataFrame) -> DataFrame:
         F.count_if(~F.col("is_dup")).alias("unique_units"),
         F.count_if(F.col("is_dup")).alias("duplicate_units"),
         F.sum(F.length("norm_unit")).alias("bytes_processed"),
+    )
+
+
+def dedup_stats_from_keepers(keepers: DataFrame) -> DataFrame:
+    """Same counters from the aggregated keeper table (bit-identical values)."""
+    return keepers.agg(
+        F.sum("n_occ").alias("total_units"),
+        F.count("*").alias("unique_units"),
+        (F.sum("n_occ") - F.count("*")).alias("duplicate_units"),
+        F.sum(F.length("norm_unit") * F.col("n_occ")).alias("bytes_processed"),
     )
 
 
@@ -90,17 +126,17 @@ def run_exact_dedup(pages: DataFrame, mode: str = "sentence", max_length: int = 
                     materialize: bool = True) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Full reference-dedup pipeline: returns (marked_units, deduped_docs, stats).
 
-    With ``materialize`` (default) the marked-units table is localCheckpoint-ed once:
-    all three outputs share it, so the extraction UDF and the dedup shuffle run
-    exactly once even when the caller triggers several actions (in production this is
-    the pipeline's ``units`` stage checkpoint — see plans/pipeline.py).
+    Uses the map-side-combining keeper aggregation (see :func:`dedup_keepers`); the
+    first element of the returned tuple is the keeper table. With ``materialize``
+    (default) it is localCheckpoint-ed once so all outputs share one computation (in
+    production this is the pipeline's stage checkpoint — see plans/pipeline.py).
     """
     units = explode_units(pages, mode, max_length, id_col=id_col)
-    marked = mark_duplicates(units, id_col)
+    keepers = dedup_keepers(units, id_col)
     if materialize:
-        marked = marked.localCheckpoint()
-    kept = marked.filter(~F.col("is_dup")).drop("is_dup")
-    return marked, reassemble(kept, id_col), dedup_stats(marked)
+        keepers = keepers.localCheckpoint()
+    kept = keepers.drop("n_occ")
+    return keepers, reassemble(kept, id_col), dedup_stats_from_keepers(keepers)
 
 
 def verify_no_duplicates(deduped_docs: DataFrame, mode: str = "sentence",

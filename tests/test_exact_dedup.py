@@ -32,15 +32,32 @@ def test_explode_units_matches_kernel(spark, pages):
 
 
 def test_dedup_counts_and_verify(spark, pages):
-    marked, deduped, stats = run_exact_dedup(pages)
+    keepers, deduped, stats = run_exact_dedup(pages)
     s = stats.collect()[0]
     assert s["total_units"] == s["unique_units"] + s["duplicate_units"]
     assert s["duplicate_units"] > 0  # planted dups exist
     # first-wins: every norm_unit appears exactly once on the keep side
-    kept = marked.filter(~F.col("is_dup"))
-    assert kept.groupBy("norm_unit").count().filter("count > 1").count() == 0
+    assert keepers.groupBy("norm_unit").count().filter("count > 1").count() == 0
     # reference verify mode: re-dedup the output → zero duplicates
     assert verify_no_duplicates(deduped) == 0
+
+
+def test_keeper_agg_equals_window_path(spark, pages):
+    """The map-side-combining groupBy keeper path must be bit-identical to the
+    row_number window semantics (same keeper rows, same counters)."""
+    from corpus_dedup_spark.operators.exact_dedup import (
+        dedup_keepers, dedup_stats, dedup_stats_from_keepers)
+
+    units = explode_units(pages)
+    marked = mark_duplicates(units).cache()
+    keepers = dedup_keepers(units)
+    win_kept = sorted(
+        (r["url"], r["unit_idx"], bytes(r["norm_unit"]))
+        for r in marked.filter(~F.col("is_dup")).collect())
+    agg_kept = sorted(
+        (r["url"], r["unit_idx"], bytes(r["norm_unit"])) for r in keepers.collect())
+    assert win_kept == agg_kept
+    assert dedup_stats(marked).collect() == dedup_stats_from_keepers(keepers).collect()
 
 
 def test_intra_doc_dup_counted(spark):
