@@ -35,9 +35,11 @@ def _sf_from_dir(sf_dir: str) -> float:
         return 0.1
 
 
-def ensure_pages_cache(sf: float, seed: int = 42) -> tuple[str, str]:
+def ensure_pages_cache(sf: float, seed: int = 42,
+                       n_docs: int | None = None) -> tuple[str, str]:
     """Generate (once) and cache the synthetic pages + truth tables for this sf."""
-    n_docs = max(1000, int(500_000 * sf))
+    if n_docs is None:
+        n_docs = max(1000, int(500_000 * sf))
     tag = f"sf{sf}_n{n_docs}_seed{seed}"
     pages_path = os.path.join(CACHE_DIR, f"pages_{tag}.parquet")
     truth_path = os.path.join(CACHE_DIR, f"truth_{tag}.parquet")
@@ -60,10 +62,12 @@ def main() -> None:
     ap.add_argument("--sf-dir",
                     default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--skip-queries", action="store_true")
+    ap.add_argument("--n-docs", type=int, default=None,
+                    help="override synthetic corpus size (default 500k*sf)")
     args = ap.parse_args()
 
     sf = _sf_from_dir(args.sf_dir)
-    pages_path, truth_path = ensure_pages_cache(sf)
+    pages_path, truth_path = ensure_pages_cache(sf, n_docs=args.n_docs)
 
     from pyspark.sql import functions as F
 
@@ -76,7 +80,7 @@ def main() -> None:
     spark = build_session(
         app_name=f"bench_c{args.cores}",
         master=f"local[{args.cores}]",
-        shuffle_partitions=max(args.cores * 2, 8),
+        shuffle_partitions=max(args.cores, 8),
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -84,7 +88,7 @@ def main() -> None:
 
     pages = spark.read.parquet(pages_path)
     n_docs = pages.count()
-    pages = pages.repartition(max(args.cores * 2, 8)).cache()
+    pages = pages.repartition(max(args.cores, 8)).cache()
     pages.count()  # warm cache so generation/IO is excluded from pipeline timings
 
     # headline 1: reference exact-dedup pipeline end-to-end

@@ -17,10 +17,10 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run(cores: int, sf_dir: str) -> dict:
+def run(cores: int, sf_dir: str, n_docs: int) -> dict:
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py"), "--cores", str(cores),
-         "--sf-dir", sf_dir, "--skip-queries"],
+         "--sf-dir", sf_dir, "--skip-queries", "--n-docs", str(n_docs)],
         capture_output=True, text=True, cwd=REPO, check=True,
     )
     line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
@@ -29,9 +29,12 @@ def run(cores: int, sf_dir: str) -> dict:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # the corpus must be large enough that 32 cores have real work per task —
+    # otherwise fixed scheduling/worker costs dominate and efficiency is meaningless
+    n_docs = int(os.environ.get("SCALING_N_DOCS", "200000"))
     results = {}
     for cores in (8, 32):
-        results[cores] = run(cores, sf_dir)
+        results[cores] = run(cores, sf_dir, n_docs)
         print(json.dumps(results[cores]))
 
     t8, t32 = results[8]["value"], results[32]["value"]
