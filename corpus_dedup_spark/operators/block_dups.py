@@ -34,7 +34,7 @@ def shared_block_pairs(pages: DataFrame, window: int = 64, stride: int = 1,
     stride subsamples the probe side; verification compares the actual substrings via
     a join back to the texts.
     """
-    idx = build_fingerprint_index(pages, window, id_col, text_col).localCheckpoint()
+    idx = build_fingerprint_index(pages, window, id_col, text_col).persist()
     probe = idx if stride <= 1 else idx.filter(F.col("pos") % stride == 0)
 
     # cap pathological fingerprints (site boilerplate) — same skew treatment as LSH

@@ -14,7 +14,7 @@ Spark-first reformulation of the reference's Block Tree (ref: src/block_tree_cor
    target_pos=leader.start_pos); hash collisions with unequal content stay marked —
    never trust a 64-bit hash alone (quirk Q6, src/block_tree_core.c:320-349,411);
 4. recurse on marked nodes until every node has length <= 1 or no candidates remain
-   (src/block_tree_core.c:530-554). Each level is localCheckpoint-ed.
+   (src/block_tree_core.c:530-554). Each level is persisted.
 
 Positions are per-document codepoint offsets (the reference's search mode concatenates
 files into one global array — src/search_mode.c:98-112 — which cannot scale; per-doc
@@ -98,7 +98,7 @@ def build_block_tree(pages: DataFrame, s: int = DEFAULT_S, tau: int = DEFAULT_TA
                      max_levels: int = 40) -> DataFrame:
     """Returns the full tree table:
     (url, level, start_pos, length, block_id, is_marked, target_pos)."""
-    texts = pages.select(id_col, text_col).localCheckpoint()
+    texts = pages.select(id_col, text_col).persist()
     lengths = _doc_lengths(texts, id_col, text_col)
     roots = lengths.filter(F.col("n_cps") > 0).select(
         F.col(id_col),
@@ -108,7 +108,7 @@ def build_block_tree(pages: DataFrame, s: int = DEFAULT_S, tau: int = DEFAULT_TA
         F.lit(None).cast("long").alias("block_id"),
         F.lit(True).alias("is_marked"),
         F.lit(None).cast("long").alias("target_pos"),
-    ).localCheckpoint()
+    ).persist()
 
     all_levels = [roots]
     frontier = roots
@@ -157,7 +157,7 @@ def build_block_tree(pages: DataFrame, s: int = DEFAULT_S, tau: int = DEFAULT_TA
             F.when((F.col("start_pos") != F.col("leader_pos"))
                    & (content == leader_content), F.col("leader_pos"))
              .otherwise(F.lit(None).cast("long")).alias("target_pos"),
-        ).localCheckpoint()
+        ).persist()
 
         all_levels.append(resolved)
         frontier = resolved

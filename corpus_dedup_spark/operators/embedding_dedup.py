@@ -85,7 +85,7 @@ def _bucketed(vectors: DataFrame, n_planes: int, n_tables: int, seed: int,
     return vectors.select(
         F.col(id_col), F.col(vec_col),
         F.explode(bucket(F.col(vec_col))).alias("bucket"),
-    ).localCheckpoint()
+    ).persist()
 
 
 def lsh_ann_topk(vectors: DataFrame, k: int = 10, n_planes: int = 12,

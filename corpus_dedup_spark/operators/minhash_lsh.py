@@ -86,7 +86,7 @@ def candidate_pairs(bands_df: DataFrame, cfg: DedupConfig,
     from pyspark.sql import Window
 
     # one shuffle on the bucket key sizes every bucket; the self-join below reuses
-    # that partitioning. localCheckpoint materializes the capped band table once so
+    # that partitioning. persist() caches the capped band table once so
     # the self-join's two sides don't recompute the UDF lineage twice.
     counted = bands_df.withColumn(
         "bucket_n", F.count("*").over(Window.partitionBy("band_id", "band_hash"))
@@ -94,7 +94,7 @@ def candidate_pairs(bands_df: DataFrame, cfg: DedupConfig,
     ok = (
         counted.filter(F.col("bucket_n") <= cfg.max_bucket_size)
         .drop("bucket_n")
-        .localCheckpoint()
+        .persist()
     )
     dropped = (
         counted.filter(F.col("bucket_n") > cfg.max_bucket_size)
@@ -140,7 +140,7 @@ def near_dup_edges(pages: DataFrame, cfg: DedupConfig,
     verified_pairs = candidates with exact Jaccard ≥ cfg.jaccard_threshold.
     """
     # features feed both the band explode and the verify join — materialize once
-    features = doc_features(pages, cfg, id_col).localCheckpoint()
+    features = doc_features(pages, cfg, id_col).persist()
     bands_df = band_explode(features, cfg, id_col)
     pairs, dropped = candidate_pairs(bands_df, cfg, id_col)
     verified = verify_jaccard(pairs, features, cfg, id_col).filter(

@@ -33,9 +33,8 @@ def test_stride_detects_long_blocks(spark):
 
 
 def test_no_false_positives_on_distinct_texts(spark):
+    # interleave the doc index into every word so no 40-cp window repeats across docs
     df = spark.createDataFrame(
-        [(f"u{i}", f"document number {i} with its own entirely distinct content "
-                   f"repeated {i} times for padding and length uniqueness variant")
-         for i in range(10)],
+        [(f"u{i}", " ".join(f"w{i}x{j}" for j in range(40))) for i in range(10)],
         ["url", "text"])
     assert shared_block_pairs(df, window=40).count() == 0
