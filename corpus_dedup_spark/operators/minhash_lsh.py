@@ -83,23 +83,17 @@ def candidate_pairs(bands_df: DataFrame, cfg: DedupConfig,
     excluded from the join and reported for lineage (skew cap — a 1M-member
     boilerplate bucket would otherwise produce 10^12 pairs).
     """
-    from pyspark.sql import Window
-
-    # one shuffle on the bucket key sizes every bucket; the self-join below reuses
-    # that partitioning. persist() caches the capped band table once so
-    # the self-join's two sides don't recompute the UDF lineage twice.
-    counted = bands_df.withColumn(
-        "bucket_n", F.count("*").over(Window.partitionBy("band_id", "band_hash"))
-    )
-    ok = (
-        counted.filter(F.col("bucket_n") <= cfg.max_bucket_size)
-        .drop("bucket_n")
-        .persist()
-    )
-    dropped = (
-        counted.filter(F.col("bucket_n") > cfg.max_bucket_size)
-        .groupBy("band_id", "band_hash")
-        .agg(F.count("*").alias("bucket_n"))
+    # Sizing via groupBy (map-side partial combine — cheaper than a window, which
+    # sort-shuffles every band row). Hot buckets are by definition FEW (each holds
+    # > max_bucket_size members), so the drop set broadcasts and the band table is
+    # filtered with a broadcast anti-join: the only full shuffle of band rows is the
+    # candidate self-join itself.
+    bands = bands_df.persist()
+    sizes = bands.groupBy("band_id", "band_hash").agg(F.count("*").alias("bucket_n"))
+    dropped = sizes.filter(F.col("bucket_n") > cfg.max_bucket_size)
+    ok = bands.join(
+        F.broadcast(dropped.select("band_id", "band_hash")),
+        ["band_id", "band_hash"], "left_anti",
     )
     left = ok.select("band_id", "band_hash", F.col(id_col).alias("id_a"))
     right = ok.select("band_id", "band_hash", F.col(id_col).alias("id_b"))
