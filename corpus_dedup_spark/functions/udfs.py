@@ -93,6 +93,32 @@ def _shingle_hashes(unit_hashes: np.ndarray, k: int) -> np.ndarray:
     return np.unique(acc)
 
 
+def _char_shingle_hashes(units: list[bytes], n: int) -> np.ndarray:
+    """Character n-gram shingles over the normalized unit stream (units joined by a
+    single space, mirroring the reference's normalized output — quirk Q4): one u64
+    rolling hash per n-byte window, vectorized over the whole doc."""
+    blob = b" ".join(units)
+    if not blob:
+        return np.empty(0, dtype=_U64)
+    arr = np.frombuffer(blob, dtype=np.uint8).astype(_U64)
+    if len(arr) <= n:
+        windows = arr[None, :]
+    else:
+        windows = np.lib.stride_tricks.sliding_window_view(arr, min(n, len(arr)))
+    with np.errstate(over="ignore"):
+        acc = np.zeros(windows.shape[0], dtype=_U64)
+        for j in range(windows.shape[1]):
+            acc = acc * _MIX_BASE + windows[:, j]
+    return np.unique(acc)
+
+
+def _doc_shingles(units: list[bytes], unit_hashes: np.ndarray,
+                  cfg: DedupConfig) -> np.ndarray:
+    if cfg.shingle_level == "char":
+        return _char_shingle_hashes(units, cfg.char_ngram)
+    return _shingle_hashes(unit_hashes, cfg.shingle_k)
+
+
 def _perm_params(cfg: DedupConfig) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.default_rng(cfg.minhash_seed)
     a = rng.integers(1, 1 << 63, size=cfg.num_perm, dtype=np.uint64) * _U64(2) + _U64(1)
@@ -159,7 +185,6 @@ def make_features_udf(cfg: DedupConfig):
     from pyspark.sql.types import StructField, StructType
 
     a_params, b_params = _perm_params(cfg)
-    k = cfg.shingle_k
     num_perm = cfg.num_perm
     mode, max_length = cfg.mode, cfg.max_length
     schema = StructType([
@@ -176,8 +201,8 @@ def make_features_udf(cfg: DedupConfig):
         uh = kernel.fnv1a_many(flat)
         shingle_sets: list[np.ndarray] = []
         pos = 0
-        for c in counts:
-            shingle_sets.append(_shingle_hashes(uh[pos:pos + c], k))
+        for units, c in zip(unit_lists, counts):
+            shingle_sets.append(_doc_shingles(units, uh[pos:pos + c], cfg))
             pos += c
         sig = _signatures_from_shingle_sets(shingle_sets, a_params, b_params, num_perm)
         return pd.DataFrame({

@@ -34,16 +34,17 @@ from corpus_dedup_spark import kernel
 
 
 def make_shingle_set_udf(cfg: DedupConfig):
-    """array<binary> units → array<int64> sorted distinct shingle hashes."""
-    k = cfg.shingle_k
+    """array<binary> units → array<int64> sorted distinct shingle hashes
+    (unit-level w-shingles or char n-grams per cfg.shingle_level)."""
+    from corpus_dedup_spark.functions.udfs import _doc_shingles
 
     @pandas_udf(ArrayType(LongType()))
     def shingle_set(unit_lists: pd.Series) -> pd.Series:
         out = []
         for v in unit_lists:
-            v = v if v is not None else []
-            uh = kernel.fnv1a_many([_as_bytes(u) for u in v])
-            out.append(_shingle_hashes(uh, k).view(np.int64).tolist())
+            v = [bytes(u) for u in (v if v is not None else [])]
+            uh = kernel.fnv1a_many(v)
+            out.append(_doc_shingles(v, uh, cfg).view(np.int64).tolist())
         return pd.Series(out)
 
     return shingle_set
