@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""CLI with the reference's three modes (dispatch parity: src/main.c:7-15) on Spark.
+
+  python scripts/cli.py dedup  --input <pages parquet> --output <dir> [--mode sentence]
+                               [--max-length N] [--work-dir DIR]
+  python scripts/cli.py verify --input <deduped parquet> [--mode sentence]
+  python scripts/cli.py search --input <pages parquet> --query "substring"
+
+dedup: full pipeline, writes per-doc deduped text + prints the reference-style summary
+(matched/unique/dups/% — src/dedup.c:1113-1141). verify: re-scan output, exit nonzero
+on any duplicate (src/verify_mode.c:501-560). search: fingerprint index + probe,
+prints url:pos hits and totals (src/search_mode.c:677-686).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _session(cores=None):
+    from corpus_dedup_spark.plans.session import build_session
+
+    s = build_session(app_name="corpus_dedup_cli",
+                      master=f"local[{cores}]" if cores else None)
+    s.sparkContext.setLogLevel("ERROR")
+    return s
+
+
+def cmd_dedup(args) -> int:
+    from corpus_dedup_spark.operators.exact_dedup import run_exact_dedup
+
+    spark = _session(args.cores)
+    pages = spark.read.parquet(args.input)
+    t0 = time.time()
+    keepers, deduped, stats = run_exact_dedup(pages, args.mode, args.max_length)
+    deduped.write.mode("overwrite").parquet(args.output)
+    s = spark.read.parquet(args.output)
+    n_written = s.count()
+    st = stats.collect()[0]
+    elapsed = time.time() - t0
+    total = st["total_units"]
+    dups = st["duplicate_units"]
+    pct = (100.0 * dups / total) if total else 0.0
+    n_in = pages.count()
+    print(f"Matched {n_in} docs; wrote {n_written} "
+          f"({n_in - n_written} empty)")
+    print(f"Unique units: {st['unique_units']}; duplicates: {dups} ({pct:.2f}%)")
+    print(f"Processed {st['bytes_processed']} bytes in {elapsed / 60:.2f} min "
+          f"({n_in / elapsed:.2f} docs/s)")
+    return 0
+
+
+def cmd_verify(args) -> int:
+    from corpus_dedup_spark.operators.exact_dedup import verify_no_duplicates
+
+    spark = _session(args.cores)
+    deduped = spark.read.parquet(args.input)
+    text_col = "dedup_text" if "dedup_text" in deduped.columns else "text"
+    dups = verify_no_duplicates(
+        deduped.withColumnRenamed(text_col, "dedup_text"), args.mode, args.max_length)
+    print(f"duplicate units: {dups}")
+    return 0 if dups == 0 else 1
+
+
+def cmd_search(args) -> int:
+    from corpus_dedup_spark import kernel
+    from corpus_dedup_spark.operators.search import (build_fingerprint_index,
+                                                     search, search_report)
+
+    spark = _session(args.cores)
+    pages = spark.read.parquet(args.input)
+    qlen = len(kernel.utf8_decode_buffer(args.query.encode()))
+    t0 = time.time()
+    idx = build_fingerprint_index(pages, window=qlen)
+    hits = search(idx, pages, args.query).persist()
+    for r in hits.limit(args.limit).collect():
+        print(f"{r['url']}:{r['pos']}")
+    rep = search_report(hits).collect()[0]
+    print(f"hits: {rep['total_hits']}; docs with hits: {rep['docs_with_hits']}; "
+          f"took {time.time() - t0:.2f}s")
+    return 0
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(prog="corpus_dedup_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    for name in ("dedup", "verify", "search"):
+        p = sub.add_parser(name)
+        p.add_argument("--input", required=True)
+        p.add_argument("--mode", default="sentence",
+                       choices=["sentence", "line", "paragraph", "document"])
+        p.add_argument("--max-length", type=int, default=0)
+        p.add_argument("--cores", type=int, default=None)
+        if name == "dedup":
+            p.add_argument("--output", required=True)
+        if name == "search":
+            p.add_argument("--query", required=True)
+            p.add_argument("--limit", type=int, default=20)
+    args = ap.parse_args()
+    sys.exit({"dedup": cmd_dedup, "verify": cmd_verify, "search": cmd_search}[args.cmd](args))
+
+
+if __name__ == "__main__":
+    main()
