@@ -471,6 +471,39 @@ GROUP BY 1, 2
 """
 
 
+def q_mask_filter(spark, sf_dir):
+    """S1 mask filter: the reference's fnmatch('*.txt') as a regex predicate."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.filter(F.col("source").rlike("^src[02468]$"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
+    )
+
+
+SQL_MASK_FILTER = """
+SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars
+FROM documents
+WHERE regexp_matches(source, '^src[02468]$')
+GROUP BY source
+"""
+
+
+def q_except_op(spark, sf_dir):
+    """Set difference (the verify-mode shape: A EXCEPT B == expected remainder)."""
+    docs = _docs(spark, sf_dir)
+    all_ids = docs.select("doc_id")
+    en_ids = docs.filter(F.col("lang") == "en").select("doc_id")
+    return all_ids.exceptAll(en_ids)
+
+
+SQL_EXCEPT_OP = """
+SELECT doc_id FROM documents
+EXCEPT ALL
+SELECT doc_id FROM documents WHERE lang = 'en'
+"""
+
+
 # ---------------------------------------------------------------------------
 # Rows-only queries (no SQL oracle): signature/LSH/cluster/fingerprint stages
 # ---------------------------------------------------------------------------
@@ -591,6 +624,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "norm_doc_dedup": q_norm_doc_dedup,
     "event_sessions": q_event_sessions,
     "tpch_pricing": q_tpch_pricing,
+    "mask_filter": q_mask_filter,
+    "except_op": q_except_op,
     # rows-only (non-SQL-expressible stages)
     "minhash_signatures": q_minhash_signatures,
     "lsh_candidates": q_lsh_candidates,
@@ -620,4 +655,6 @@ ORACLES: dict[str, str] = {
     "norm_doc_dedup": SQL_NORM_DOC_DEDUP,
     "event_sessions": SQL_EVENT_SESSIONS,
     "tpch_pricing": SQL_TPCH_PRICING,
+    "mask_filter": SQL_MASK_FILTER,
+    "except_op": SQL_EXCEPT_OP,
 }
