@@ -167,11 +167,16 @@ def dedup_stats_from_keepers(keepers: DataFrame) -> DataFrame:
     )
 
 
-def reassemble(units_kept: DataFrame, id_col: str = "url") -> DataFrame:
+def reassemble(units_kept: DataFrame, id_col: str = "url",
+               all_ids: DataFrame | None = None) -> DataFrame:
     """Per-document output: kept units joined by \\n in document order
     (the reference writes normalized units joined by newline — quirk Q4,
-    src/dedup.c:341-351). One groupBy shuffle on the document id."""
-    return (
+    src/dedup.c:341-351). One groupBy shuffle on the document id.
+
+    Pass ``all_ids`` (a one-column DataFrame of document ids) to also emit rows for
+    documents whose every unit was a duplicate — the reference still writes an (empty)
+    output file for those (src/dedup.c:690, write happens unconditionally)."""
+    out = (
         units_kept.groupBy(id_col)
         .agg(
             F.array_join(
@@ -186,6 +191,16 @@ def reassemble(units_kept: DataFrame, id_col: str = "url") -> DataFrame:
             F.count("*").alias("n_units"),
         )
     )
+    if all_ids is not None:
+        out = (
+            all_ids.select(id_col).join(out, id_col, "left")
+            .select(
+                id_col,
+                F.coalesce("dedup_text", F.lit("")).alias("dedup_text"),
+                F.coalesce("n_units", F.lit(0)).alias("n_units"),
+            )
+        )
+    return out
 
 
 def run_exact_dedup(pages: DataFrame, mode: str = "sentence", max_length: int = 0,
