@@ -18,6 +18,55 @@ from pyspark.sql.types import LongType
 from corpus_dedup_spark import kernel
 
 # ---------------------------------------------------------------------------
+# S1 — fnmatch-style file mask → anchored regex (for Column.rlike)
+# ---------------------------------------------------------------------------
+
+def glob_to_rlike(mask: str) -> str:
+    """Translate an fnmatch glob (the reference's file mask — default '*.txt',
+    ref src/config.c:4; matcher src/dedup.c:899-1014) to an anchored Java regex
+    usable with ``Column.rlike``.
+
+    Supports ``*`` (any run), ``?`` (any one char), ``[seq]`` / ``[!seq]``
+    (char class / negated); every other char is escaped literally. An unclosed
+    ``[`` is treated as a literal bracket, matching fnmatch behavior.
+    """
+    out = ["^"]
+    i, n = 0, len(mask)
+    while i < n:
+        c = mask[i]
+        if c == "*":
+            out.append(".*")
+        elif c == "?":
+            out.append(".")
+        elif c == "[":
+            j = i + 1
+            if j < n and mask[j] in "!^":
+                j += 1
+            if j < n and mask[j] == "]":  # leading ] is a literal member
+                j += 1
+            while j < n and mask[j] != "]":
+                j += 1
+            if j >= n:  # unclosed '[' → literal
+                out.append("\\[")
+            else:
+                inner = mask[i + 1:j]
+                if inner.startswith("!"):
+                    inner = "^" + inner[1:]
+                # escape regex-special chars inside the class except ^ - ]
+                inner = inner.replace("\\", "\\\\")
+                out.append("[" + inner + "]")
+                i = j
+        else:
+            if c in ".^$+{}()|\\":
+                out.append("\\" + c)
+            else:
+                out.append(c)
+        i += 1
+    out.append("$")
+    return "".join(out)
+
+
+# ---------------------------------------------------------------------------
 # Language ID: marker-word n-gram heuristic (pure column expressions)
 # ---------------------------------------------------------------------------
 

@@ -332,17 +332,22 @@ SELECT doc_id, len(regexp_extract_all(text, '[a-z0-9]+')) AS n_bpe FROM document
 
 def q_event_hourly(spark, sf_dir):
     ev = _events(spark, sf_dir)
+    # tie-free cent rounding: floor(x*100 + 0.5) is an exact double op on both
+    # engines (Spark round() is HALF_UP while DuckDB round() is banker's — .5
+    # cents hash-diverge otherwise)
     return ev.groupBy(
         "event_type", F.hour("ts").alias("hr")
     ).agg(
         F.count("*").alias("n_events"),
-        F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+        F.sum(F.floor(F.col("value") * 100 + 0.5)).alias("sum_cents"),
     )
 
 
+# DuckDB sum(BIGINT) widens to HUGEINT — cast back so the value representation
+# (and the driver's value hash) matches Spark's LONG
 SQL_EVENT_HOURLY = """
 SELECT event_type, CAST(hour(ts) AS INT) AS hr, count(*) AS n_events,
-       sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
 FROM events GROUP BY 1, 2
 """
 
@@ -352,32 +357,16 @@ FROM events GROUP BY 1, 2
 # ---------------------------------------------------------------------------
 
 def q_embedding_top1(spark, sf_dir):
+    # delegates to the operator, which broadcasts the PROBE side (small by
+    # construction) — broadcasting the base table would OOM at scale
+    from corpus_dedup_spark.operators.embedding_dedup import brute_force_topk
+
     emb = _embeddings(spark, sf_dir)
-    probe = emb.filter(F.col("vec_id") < 50).select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
-    )
-    base = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    dot = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
-        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0), lambda acc, v: acc + v))
-    pairs = (
-        probe.join(F.broadcast(base), F.col("id_a") != F.col("id_b"))
-        .withColumn("cos", dot / (norm(F.col("va")) * norm(F.col("vb"))))
-    )
-    w = Window.partitionBy("id_a").orderBy(F.col("cos").desc(), F.col("id_b").asc())
-    return (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            F.col("id_a").alias("vec_id"),
-            F.col("id_b").alias("nn_id"),
-            F.round(F.col("cos"), 4).alias("cos_r"),
-        )
+    probes = emb.filter(F.col("vec_id") < 50)
+    return brute_force_topk(emb, probes, k=1).select(
+        F.col("probe_id").alias("vec_id"),
+        F.col("neighbor_id").alias("nn_id"),
+        F.round(F.col("cosine"), 4).alias("cos_r"),
     )
 
 
@@ -442,20 +431,22 @@ WITH g AS (
          THEN 1 ELSE 0 END AS new_s
   FROM events
 )
-SELECT user_id, sum(new_s) AS n_sessions, count(*) AS n_events FROM g GROUP BY user_id
+SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events
+FROM g GROUP BY user_id
 """
 
 
 def q_tpch_pricing(spark, sf_dir):
     """TPC-H Q1-shaped aggregate (integer cents for exactness)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    # tie-free rounding + BIGINT sums (see q_event_hourly)
+    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5)
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.count("*").alias("n_rows"),
-            F.sum(F.round(F.col("l_quantity")).cast("long")).alias("sum_qty"),
+            F.sum(F.floor(F.col("l_quantity") + 0.5)).alias("sum_qty"),
             F.sum(cents).alias("sum_price_cents"),
         )
     )
@@ -463,8 +454,9 @@ def q_tpch_pricing(spark, sf_dir):
 
 SQL_TPCH_PRICING = """
 SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
-       sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents
+       CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_price_cents
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY 1, 2
@@ -472,20 +464,78 @@ GROUP BY 1, 2
 
 
 def q_mask_filter(spark, sf_dir):
-    """S1 mask filter: the reference's fnmatch('*.txt') as a regex predicate."""
+    """S1 mask filter: the reference's fnmatch mask (default '*.txt', ref
+    src/config.c:4, src/dedup.c:899-1014) via the glob_to_rlike translator."""
+    from corpus_dedup_spark.functions.text import glob_to_rlike
+
     docs = _docs(spark, sf_dir)
     return (
-        docs.filter(F.col("source").rlike("^src[02468]$"))
+        docs.filter(F.col("source").rlike(glob_to_rlike("src[02468]")))
         .groupBy("source")
         .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
     )
 
 
 SQL_MASK_FILTER = """
-SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars
+SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM documents
 WHERE regexp_matches(source, '^src[02468]$')
 GROUP BY source
+"""
+
+
+def _docs_augmented(spark, sf_dir):
+    """documents ∪ deterministic exact copies of every 20th doc (doc_id + 1e6).
+
+    The driver tables carry ZERO exact text duplicates, so without seeding the
+    near-dup leg verifies nothing (r1: lsh_candidates = 0 rows). The augmentation
+    is SQL-expressible, so both engines build the identical input."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    return docs.unionByName(copies)
+
+
+SQL_AUG = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 20 = 0
+"""
+
+
+def q_lsh_exact_floor(spark, sf_dir):
+    """Recall floor for the LSH leg (H5/H6/J4): every exact text-equal pair MUST
+    surface as an LSH candidate (identical text ⇒ identical shingle set ⇒ identical
+    signature ⇒ collision in every band). Output = exact pairs ∩ candidate pairs;
+    the structural guarantee makes that equal to the full exact-pair set, so any
+    signature/banding/bucket-join regression drops rows and turns this red."""
+    from corpus_dedup_spark.operators.minhash_lsh import (band_explode,
+                                                          candidate_pairs,
+                                                          doc_features)
+
+    cfg = DedupConfig()
+    docs = _docs_augmented(spark, sf_dir)
+    feats = doc_features(docs, cfg, id_col="doc_id", text_col="text")
+    pairs, _dropped = candidate_pairs(
+        band_explode(feats, cfg, id_col="doc_id"), cfg, id_col="doc_id"
+    )
+    exact = (
+        docs.alias("a")
+        .join(
+            docs.alias("b"),
+            (F.col("a.text") == F.col("b.text"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    return exact.join(pairs, ["id_a", "id_b"]).select("id_a", "id_b")
+
+
+SQL_LSH_EXACT_FLOOR = f"""
+WITH aug AS ({SQL_AUG})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM aug a JOIN aug b ON a.text = b.text AND a.doc_id < b.doc_id
 """
 
 
@@ -528,13 +578,17 @@ def q_minhash_signatures(spark, sf_dir):
 
 
 def q_lsh_candidates(spark, sf_dir):
+    # augmented input: driver tables have no dups, so the un-seeded candidate set
+    # is empty (r1 vacuity); the seeded one must be non-empty
     from corpus_dedup_spark.operators.minhash_lsh import (band_explode,
                                                           candidate_pairs,
                                                           doc_features)
 
     cfg = DedupConfig()
-    feats = doc_features(_docs_as_pages(spark, sf_dir), cfg)
-    pairs, _dropped = candidate_pairs(band_explode(feats, cfg), cfg)
+    feats = doc_features(_docs_augmented(spark, sf_dir), cfg, id_col="doc_id")
+    pairs, _dropped = candidate_pairs(
+        band_explode(feats, cfg, id_col="doc_id"), cfg, id_col="doc_id"
+    )
     return pairs
 
 
@@ -542,7 +596,7 @@ def q_near_dup_clusters(spark, sf_dir):
     from corpus_dedup_spark.operators.minhash_lsh import near_dup_clusters
 
     cfg = DedupConfig(jaccard_threshold=0.5)
-    return near_dup_clusters(_docs_as_pages(spark, sf_dir), cfg)
+    return near_dup_clusters(_docs_augmented(spark, sf_dir), cfg, id_col="doc_id")
 
 
 def q_sentence_dedup_pages(spark, sf_dir):
@@ -626,6 +680,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_pricing": q_tpch_pricing,
     "mask_filter": q_mask_filter,
     "except_op": q_except_op,
+    "lsh_exact_floor": q_lsh_exact_floor,
     # rows-only (non-SQL-expressible stages)
     "minhash_signatures": q_minhash_signatures,
     "lsh_candidates": q_lsh_candidates,
@@ -657,4 +712,5 @@ ORACLES: dict[str, str] = {
     "tpch_pricing": SQL_TPCH_PRICING,
     "mask_filter": SQL_MASK_FILTER,
     "except_op": SQL_EXCEPT_OP,
+    "lsh_exact_floor": SQL_LSH_EXACT_FLOOR,
 }
