@@ -99,10 +99,11 @@ def main() -> None:
     run_exact_dedup(warm)[2].collect()
     near_dup_clusters(warm, DedupConfig(jaccard_threshold=0.5)).count()
 
-    # The sandbox host has noisy co-tenants (CPU steal spikes of 10-20% observed):
-    # each headline section runs BENCH_REPEATS times and reports the minimum —
-    # the least-stolen window is the closest estimate of true cost.
-    repeats = int(os.environ.get("BENCH_REPEATS", "2"))
+    # The sandbox host has noisy co-tenants (measured: the SAME pipeline swings
+    # 2s↔13s run-to-run in one process): each headline section runs BENCH_REPEATS
+    # times and reports the minimum — the least-stolen window is the closest
+    # estimate of true cost. 3 repeats catches a clean window far more often than 2.
+    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
 
     def fresh_pages():
         # operators persist() intermediates; drop them between repeats so every

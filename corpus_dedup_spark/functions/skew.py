@@ -17,12 +17,13 @@ from pyspark.sql import functions as F
 
 def with_salt(df: DataFrame, salt_buckets: int, salt_col: str = "_salt",
               on: Column | None = None) -> DataFrame:
-    """Add a deterministic salt column in [0, salt_buckets): hash of ``on`` (or the
-    whole row via monotonically increasing id fallback). Deterministic salts keep
-    reruns byte-identical (resume contract)."""
-    src = on if on is not None else F.spark_partition_id() * F.lit(1000003) + \
-        F.monotonically_increasing_id()
-    return df.withColumn(salt_col, F.pmod(F.xxhash64(src), F.lit(salt_buckets)))
+    """Add a deterministic salt column in [0, salt_buckets): hash of ``on``, or —
+    fallback — a hash of ALL row columns. Both are pure functions of row content,
+    never of partition/task layout, so reruns stay byte-identical (resume contract).
+    Rows identical in every column hash to one salt bucket; pass ``on`` with a
+    distinguishing column when exact duplicates dominate a hot key."""
+    src = [on] if on is not None else [F.col(c) for c in df.columns]
+    return df.withColumn(salt_col, F.pmod(F.xxhash64(*src), F.lit(salt_buckets)))
 
 
 def salted_collect_list(df: DataFrame, key: str, value: str, salt_buckets: int = 8,

@@ -43,7 +43,9 @@ def make_extract_units_udf(mode: str = "sentence", max_length: int = 0):
 
     @pandas_udf(ArrayType(BinaryType()))
     def extract_units(texts: pd.Series) -> pd.Series:
-        return texts.map(lambda t: kernel.extract_units(_as_bytes(t), mode, max_length))
+        batch = kernel.extract_units_batch(
+            [_as_bytes(t) for t in texts], mode, max_length)
+        return pd.Series(batch)
 
     return extract_units
 
@@ -158,19 +160,21 @@ def make_minhash_udf(cfg: DedupConfig):
     Arrow batch, multiply-shift permutations in native-wrapping uint64.
     """
     a_params, b_params = _perm_params(cfg)
-    k = cfg.shingle_k
     num_perm = cfg.num_perm
 
     @pandas_udf(ArrayType(LongType()))
     def minhash_signature(unit_lists: pd.Series) -> pd.Series:
-        lists = [v if v is not None else [] for v in unit_lists]
+        lists = [[_as_bytes(u) for u in (v if v is not None else [])]
+                 for v in unit_lists]
         counts = [len(v) for v in lists]
-        flat = [_as_bytes(u) for v in lists for u in v]
+        flat = [u for v in lists for u in v]
         uh = kernel.fnv1a_many(flat)
         shingle_sets: list[np.ndarray] = []
         pos = 0
-        for c in counts:
-            shingle_sets.append(_shingle_hashes(uh[pos:pos + c], k))
+        # route through _doc_shingles so cfg.shingle_level is honored — signatures
+        # stay consistent with make_features_udf/make_shingle_set_udf shingle sets
+        for units, c in zip(lists, counts):
+            shingle_sets.append(_doc_shingles(units, uh[pos:pos + c], cfg))
             pos += c
         sig = _signatures_from_shingle_sets(shingle_sets, a_params, b_params, num_perm)
         return pd.Series(list(sig))
@@ -194,8 +198,8 @@ def make_features_udf(cfg: DedupConfig):
 
     @pandas_udf(schema)
     def features(texts: pd.Series) -> pd.DataFrame:
-        unit_lists = [kernel.extract_units(_as_bytes(t), mode, max_length)
-                      for t in texts]
+        unit_lists = kernel.extract_units_batch(
+            [_as_bytes(t) for t in texts], mode, max_length)
         counts = [len(v) for v in unit_lists]
         flat = [u for v in unit_lists for u in v]
         uh = kernel.fnv1a_many(flat)

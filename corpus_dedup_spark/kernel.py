@@ -196,7 +196,238 @@ def split_sentences(text: bytes) -> list[tuple[int, int]]:
     ASCII ``.!?`` runs + closer absorption + whitespace-gap requirement +
     dot-suppression; immediate split on 。？！…؟｡; invalid bytes skipped one at a time.
     Returned spans include terminators/closers, exclude inter-sentence whitespace.
+
+    Dispatches to a numpy-batched fast path for pure-ASCII documents (the dominant
+    case for extracted web text; the reference SIMD-batches the same event scan —
+    src/sentence_splitter.c:202-245). Output is identical to the scalar automaton
+    (property-tested in tests/test_kernel_properties.py).
     """
+    n = len(text)
+    if n >= 8192:  # per-doc numpy overhead only amortizes on large docs;
+        arr = np.frombuffer(text, dtype=np.uint8)  # batches use split_sentences_batch
+        if not (arr & 0x80).any():
+            return _split_sentences_ascii(arr)
+    return _split_sentences_scalar(text)
+
+
+# lowercase 2-/3-letter abbreviation words packed as little integers for vectorized
+# membership tests ("mr" → 0x6d72, ...)
+_ABBREV_2_CODES = np.array(
+    sorted((w[0] << 8) | w[1] for w in _ABBREV_2), dtype=np.int64)
+_ABBREV_3_CODES = np.array(
+    sorted((w[0] << 16) | (w[1] << 8) | w[2] for w in _ABBREV_3), dtype=np.int64)
+
+
+def _split_sentences_ascii(arr: np.ndarray) -> list[tuple[int, int]]:
+    """Single-document wrapper over the batched vector splitter."""
+    n = arr.shape[0]
+    _doc, starts, lens = _split_ascii_batch(
+        arr, np.zeros(1, dtype=np.int64), np.array([n], dtype=np.int64))
+    return list(zip(starts.tolist(), lens.tolist()))
+
+
+_IS_WS_TBL = np.zeros(256, dtype=bool)
+_IS_WS_TBL[: 0x21] = True
+_IS_CLOSER_TBL = np.zeros(256, dtype=bool)
+for _b in b"\"')]}":
+    _IS_CLOSER_TBL[_b] = True
+del _b
+
+
+def _skip_class_vec(arr: np.ndarray, pos: np.ndarray, limit: np.ndarray,
+                    tbl: np.ndarray, N: int, max_iter: int = 24) -> np.ndarray:
+    """First position >= pos whose byte is NOT in class ``tbl``, clamped per-element
+    to ``limit``. Vectorized +1 advance per round — class runs (closers, whitespace
+    gaps) are short in real text; rounds are capped with a scalar fallback so a
+    pathological run costs O(run), not O(run × events)."""
+    pos = np.minimum(pos, limit)
+    active = (pos < limit) & tbl[arr[np.minimum(pos, N - 1)]]
+    it = 0
+    while active.any():
+        it += 1
+        if it > max_iter:
+            for k in np.flatnonzero(active):
+                p, lim = int(pos[k]), int(limit[k])
+                while p < lim and tbl[arr[p]]:
+                    p += 1
+                pos[k] = p
+            break
+        pos[active] += 1
+        active = (pos < limit) & tbl[arr[np.minimum(pos, N - 1)]]
+    return pos
+
+
+def _skip_ws_vec(arr: np.ndarray, pos: np.ndarray, limit: np.ndarray,
+                 N: int) -> np.ndarray:
+    return _skip_class_vec(arr, pos, limit, _IS_WS_TBL, N)
+
+
+def _split_ascii_batch(
+    arr: np.ndarray, offsets: np.ndarray, ends: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized sentence splitting over a CONCATENATED pure-ASCII buffer.
+
+    ``arr`` is the uint8 concatenation of all documents; ``offsets``/``ends`` are
+    per-document [start, end) bounds. Returns ``(doc_idx, start_local, length)``
+    arrays sorted by (doc, start) — per-doc spans identical to the scalar automaton.
+
+    Why this is safe to batch: every maximal same-char run of ``. ! ?`` is an
+    independent "event" (the scalar cursor's jumps only skip closer/whitespace
+    bytes, which contain no terminators), so events classify in parallel. Each
+    per-event lookup (run end → closer-skip end → whitespace-skip end, via
+    searchsorted over non-closer/non-ws position arrays) is clamped to the event's
+    own document end, and the dot-suppression backward letter scan is clamped to
+    its document start — so no state leaks across document boundaries.
+    """
+    N = arr.shape[0]
+    n_docs = offsets.shape[0]
+    # first non-ws at/after each doc start, clamped to doc end ("no content" → end)
+    ss0 = _skip_ws_vec(arr, offsets.copy(), ends, N)
+
+    is_term = (arr == 0x2E) | (arr == 0x21) | (arr == 0x3F)
+    ev = np.flatnonzero(is_term)
+    s_after = s_ws = s_doc = np.empty(0, dtype=np.int64)
+    if ev.size:
+        # maximal same-char run starts ('..' then '!' is two events); a doc start
+        # always begins a fresh run even if the previous doc ended with the same char
+        oidx = np.searchsorted(offsets, ev, side="left")
+        at_doc_start = (oidx < n_docs) & (offsets[np.minimum(oidx, n_docs - 1)] == ev)
+        starts_mask = at_doc_start
+        nz = ev > 0
+        starts_mask[nz] |= arr[ev[nz] - 1] != arr[ev[nz]]
+        e = ev[starts_mask]
+
+        doc_idx = np.searchsorted(ends, e, side="right")
+        d_end = ends[doc_idx]
+        d_start = offsets[doc_idx]
+
+        # term_end: end of the same-char run (terminator runs are short — vectorized
+        # +1 advance over the still-active set; see _skip_ws_vec for the pattern)
+        b0 = arr[e]
+        term_end = np.minimum(e + 1, d_end)
+        active = (term_end < d_end) & (arr[np.minimum(term_end, N - 1)] == b0)
+        it = 0
+        while active.any():
+            it += 1
+            if it > 24:  # pathological terminator run → scalar per-event
+                for k in np.flatnonzero(active):
+                    p, lim, c = int(term_end[k]), int(d_end[k]), arr[e[k]]
+                    while p < lim and arr[p] == c:
+                        p += 1
+                    term_end[k] = p
+                break
+            term_end[active] += 1
+            active = (term_end < d_end) & (arr[np.minimum(term_end, N - 1)] == b0)
+
+        # closers skip: first non-closer position >= term_end
+        after = _skip_class_vec(arr, term_end, d_end, _IS_CLOSER_TBL, N)
+        # whitespace skip: first non-ws position >= after
+        ws = _skip_class_vec(arr, after.copy(), d_end, _IS_WS_TBL, N)
+
+        # dot-suppression (only '.' events with a whitespace gap can be blocked)
+        gap = ws > after
+        is_dot = b0 == 0x2E
+        blocked = np.zeros(e.shape, dtype=bool)
+        need = is_dot & gap & (ws < d_end)
+        if need.any():
+            lower = arr | np.uint8(0x20)
+            # letters immediately before the dot, counted directly (at most 4
+            # gathers), clamped to the doc start like the scalar scan
+            def alpha_at(p):
+                ok = p >= d_start
+                v = lower[np.maximum(p, 0)]
+                return ok & (v >= 97) & (v <= 122)
+            a1 = alpha_at(e - 1)
+            a2 = a1 & alpha_at(e - 2)
+            a3 = a2 & alpha_at(e - 3)
+            a4 = a3 & alpha_at(e - 4)
+            ln = (a1.astype(np.int8) + a2.astype(np.int8)
+                  + a3.astype(np.int8) + a4.astype(np.int8))
+            valid_ln = a1 & ~a4  # 1 <= ln <= 3
+            ws_c = np.minimum(ws, N - 1)
+            lower_follows = (arr[ws_c] >= 97) & (arr[ws_c] <= 122)
+            word_ok = np.zeros(e.shape, dtype=bool)
+            two = need & valid_ln & (ln == 2)
+            if two.any():
+                code = (lower[e[two] - 2].astype(np.int64) << 8) | lower[e[two] - 1]
+                word_ok[two] = np.isin(code, _ABBREV_2_CODES)
+            three = need & valid_ln & (ln == 3)
+            if three.any():
+                code = (lower[e[three] - 3].astype(np.int64) << 16) | \
+                       (lower[e[three] - 2].astype(np.int64) << 8) | \
+                       lower[e[three] - 1]
+                word_ok[three] = np.isin(code, _ABBREV_3_CODES)
+            blocked = need & valid_ln & (lower_follows | word_ok)
+
+        split = (after >= d_end) | (gap & ~(is_dot & blocked))
+        s_after = after[split]
+        s_ws = ws[split]
+        s_doc = doc_idx[split]
+
+    # span assembly: each split event closes a span [ss, after); ss chains from the
+    # previous split's ws within the doc (first split in a doc starts at ss0);
+    # each doc emits a tail span [last_ss, end) when content remains
+    last_ss = ss0.copy()
+    if s_after.size:
+        first_in = np.ones(s_doc.shape, dtype=bool)
+        first_in[1:] = s_doc[1:] != s_doc[:-1]
+        ss_arr = np.empty(s_after.shape, dtype=np.int64)
+        ss_arr[1:] = s_ws[:-1]
+        ss_arr[first_in] = ss0[s_doc[first_in]]
+        keep = s_after > ss_arr
+        span_doc = s_doc[keep]
+        span_start = ss_arr[keep]
+        span_len = s_after[keep] - ss_arr[keep]
+        last_in = np.ones(s_doc.shape, dtype=bool)
+        last_in[:-1] = s_doc[1:] != s_doc[:-1]
+        last_ss[s_doc[last_in]] = s_ws[last_in]
+    else:
+        span_doc = np.empty(0, dtype=np.int64)
+        span_start = np.empty(0, dtype=np.int64)
+        span_len = np.empty(0, dtype=np.int64)
+
+    tail_keep = ends > last_ss
+    tail_doc = np.flatnonzero(tail_keep)
+    doc_all = np.concatenate([span_doc, tail_doc])
+    st_all = np.concatenate([span_start, last_ss[tail_keep]])
+    ln_all = np.concatenate([span_len, (ends - last_ss)[tail_keep]])
+    order = np.lexsort((st_all, doc_all))
+    doc_all, st_all, ln_all = doc_all[order], st_all[order], ln_all[order]
+    return doc_all, st_all - offsets[doc_all], ln_all
+
+
+def split_sentences_batch(texts: list[bytes]) -> list[list[tuple[int, int]]]:
+    """Batched :func:`split_sentences` — ONE vectorized pass over all pure-ASCII
+    documents in the batch (non-ASCII docs fall back to the scalar automaton).
+    This is the Arrow-batch hot path: numpy overhead amortizes across the batch."""
+    out: list[list[tuple[int, int]] | None] = [None] * len(texts)
+    ascii_ids: list[int] = []
+    ascii_texts: list[bytes] = []
+    for i, t in enumerate(texts):
+        if not t:
+            out[i] = []
+        elif (np.frombuffer(t, dtype=np.uint8) & 0x80).any():
+            out[i] = _split_sentences_scalar(t)
+        else:
+            ascii_ids.append(i)
+            ascii_texts.append(t)
+    if ascii_texts:
+        arr = np.frombuffer(b"".join(ascii_texts), dtype=np.uint8)
+        lens = np.fromiter((len(t) for t in ascii_texts), dtype=np.int64,
+                           count=len(ascii_texts))
+        offsets = np.zeros(len(lens), dtype=np.int64)
+        np.cumsum(lens[:-1], out=offsets[1:])
+        doc_all, st_all, ln_all = _split_ascii_batch(arr, offsets, offsets + lens)
+        cuts = np.searchsorted(doc_all, np.arange(len(ascii_ids) + 1))
+        st_l, ln_l = st_all.tolist(), ln_all.tolist()
+        for j, gi in enumerate(ascii_ids):
+            lo, hi = cuts[j], cuts[j + 1]
+            out[gi] = list(zip(st_l[lo:hi], ln_l[lo:hi]))
+    return out  # type: ignore[return-value]
+
+
+def _split_sentences_scalar(text: bytes) -> list[tuple[int, int]]:
+    """Scalar automaton — the executable spec; handles all inputs incl. non-ASCII."""
     out: list[tuple[int, int]] = []
     n = len(text)
     if n == 0:
@@ -396,26 +627,40 @@ BLOCK_HASH_BASE = 31
 SEARCH_HASH_BASE = 1315423911  # ref: src/search_mode.c:114-149; value = cp + 1
 
 
+def _inverse_u64(b: int) -> int:
+    """Multiplicative inverse of odd ``b`` mod 2^64 (Newton/Hensel lifting:
+    x ← x(2 − bx) doubles correct low bits; 6 rounds ≥ 64 bits)."""
+    if b % 2 == 0:
+        raise ValueError("base must be odd to be invertible mod 2^64")
+    x = b
+    for _ in range(6):
+        x = (x * (2 - b * x)) & _U64
+    return x
+
+
 def rolling_prefix(cps: np.ndarray, base: int, add: int = 0) -> tuple[np.ndarray, np.ndarray]:
     """Build prefix/power tables: ``prefix[i+1] = prefix[i]*base + (cp+add)`` mod 2^64.
 
     ref: src/block_tree_core.c:162-201 (base 31, add 0) and
     src/search_mode.c:114-140 (base 1315423911, add 1). numpy uint64 wraps natively.
+
+    Vectorized via the modular inverse (both reference bases are odd):
+    ``prefix[k] = Σ_{i<k} v[i]·b^(k−1−i) = b^k · Σ_{i<k} v[i]·b^(−i−1)``, so three
+    wrapping-uint64 numpy passes (cumprod powers, cumsum of v·b^(−i−1), one final
+    multiply) replace the per-codepoint Python loop — bit-identical output.
     """
     n = len(cps)
     prefix = np.zeros(n + 1, dtype=np.uint64)
     pow_ = np.ones(n + 1, dtype=np.uint64)
-    b = np.uint64(base)
-    a = np.uint64(add)
-    vals = cps.astype(np.uint64) + a
-    acc = np.uint64(0)
-    p = np.uint64(1)
+    if n == 0:
+        return prefix, pow_
     with np.errstate(over="ignore"):
-        for i in range(n):
-            acc = acc * b + vals[i]
-            prefix[i + 1] = acc
-            p = p * b
-            pow_[i + 1] = p
+        pow_[1:] = np.cumprod(np.full(n, np.uint64(base), dtype=np.uint64))
+        inv_pow = np.cumprod(
+            np.full(n, np.uint64(_inverse_u64(base)), dtype=np.uint64)
+        )  # inv_b^(i+1)
+        vals = cps.astype(np.uint64) + np.uint64(add)
+        prefix[1:] = np.cumsum(vals * inv_pow, dtype=np.uint64) * pow_[1:]
     return prefix, pow_
 
 
@@ -464,3 +709,73 @@ def extract_units(raw: bytes, mode: str = "sentence", max_length: int = 0) -> li
         if norm:
             units.append(norm)
     return units
+
+
+# every byte <= 0x20 → space: the composition of the newline squash (Q1) and the
+# whitespace CLASS of the normalizer — byte classes (terminator/closer/alpha/ws)
+# are preserved, so sentence spans computed on the translated text are identical
+_WS_TO_SPACE = bytes(0x20 if b <= 0x20 else b for b in range(256))
+
+
+def extract_units_batch(
+    texts: list[bytes], mode: str = "sentence", max_length: int = 0
+) -> list[list[bytes]]:
+    """Batched :func:`extract_units` — the Arrow-batch hot path (bit-identical output).
+
+    Two batch-level optimizations over the per-doc pipeline:
+    1. sentence spans come from ONE vectorized pass over the whole batch
+       (:func:`split_sentences_batch`);
+    2. normalization (trim + collapse ws runs — src/text_utils.c:7-34) is done by
+       translating ALL bytes <= 0x20 to space once per document (one C pass) and then
+       ``b" ".join(span.split())`` per span — C-speed, no per-span regex. The
+       translate maps every whitespace-class byte to 0x20 without changing any byte's
+       class, so spans and normalized unit bytes are unchanged.
+    """
+    if mode != "sentence":
+        return [extract_units(t, mode, max_length) for t in texts]
+    out: list[list[bytes] | None] = [None] * len(texts)
+    ascii_ids: list[int] = []
+    ascii_texts: list[bytes] = []
+    for i, t in enumerate(texts):
+        tt = t.translate(_WS_TO_SPACE)
+        if not tt:
+            out[i] = []
+        elif (np.frombuffer(tt, dtype=np.uint8) & 0x80).any():
+            out[i] = extract_units(t, mode, max_length)  # scalar parity path
+        else:
+            ascii_ids.append(i)
+            ascii_texts.append(tt)
+    if not ascii_texts:
+        return out  # type: ignore[return-value]
+    blob = b"".join(ascii_texts)
+    arr = np.frombuffer(blob, dtype=np.uint8)
+    lens = np.fromiter((len(t) for t in ascii_texts), dtype=np.int64,
+                       count=len(ascii_texts))
+    offsets = np.zeros(len(lens), dtype=np.int64)
+    np.cumsum(lens[:-1], out=offsets[1:])
+    doc_all, st_loc, ln_all = _split_ascii_batch(arr, offsets, offsets + lens)
+    gs = st_loc + offsets[doc_all]
+    ge = gs + ln_all
+    # a span is already normalized ("clean") iff it has no interior double space and
+    # no trailing space (span starts are non-ws by construction; after the translate
+    # every ws byte is 0x20) — clean spans slice straight out of the blob
+    sp = arr == 0x20
+    dbl = np.flatnonzero(sp[:-1] & sp[1:])
+    dirty = (np.searchsorted(dbl, gs) != np.searchsorted(dbl, ge - 1)) \
+        | sp[np.maximum(ge - 1, 0)]
+    cuts = np.searchsorted(doc_all, np.arange(len(ascii_ids) + 1)).tolist()
+    gs_l = gs.tolist()
+    ge_l = ge.tolist()
+    dirty_l = dirty.tolist()
+    for j, gi in enumerate(ascii_ids):
+        units = []
+        for k in range(cuts[j], cuts[j + 1]):
+            u = blob[gs_l[k]:ge_l[k]]
+            if dirty_l[k]:
+                u = b" ".join(u.split())
+            if max_length and len(u) > max_length:
+                u = u[:max_length]
+            if u:
+                units.append(u)
+        out[gi] = units
+    return out  # type: ignore[return-value]

@@ -37,11 +37,18 @@ def shared_block_pairs(pages: DataFrame, window: int = 64, stride: int = 1,
     idx = build_fingerprint_index(pages, window, id_col, text_col).persist()
     probe = idx if stride <= 1 else idx.filter(F.col("pos") % stride == 0)
 
-    # cap pathological fingerprints (site boilerplate) — same skew treatment as LSH
-    from pyspark.sql import Window as W
-    counted = idx.withColumn("grp_n", F.count("*").over(W.partitionBy("whash")))
-    base = counted.filter(F.col("grp_n") <= max_group).drop("grp_n")
-    probe = probe.join(base.select("whash").distinct(), "whash")
+    # cap pathological fingerprints (site boilerplate) — same skew treatment as the
+    # LSH bucket cap (minhash_lsh.candidate_pairs): sizes via groupBy (map-side
+    # partial combine), then a broadcast ANTI-join of the few hot fingerprints.
+    # A window count would sort-shuffle the entire docs×chars fingerprint index
+    # just to size groups.
+    hot = (
+        idx.groupBy("whash").agg(F.count("*").alias("grp_n"))
+        .filter(F.col("grp_n") > max_group)
+        .select("whash")
+    )
+    base = idx.join(F.broadcast(hot), "whash", "left_anti")
+    probe = probe.join(F.broadcast(hot), "whash", "left_anti")
 
     left = base.select("whash", F.col(id_col).alias("id_a"), F.col("pos").alias("pos_a"))
     right = probe.select("whash", F.col(id_col).alias("id_b"), F.col("pos").alias("pos_b"))

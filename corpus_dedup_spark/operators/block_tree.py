@@ -9,10 +9,12 @@ Spark-first reformulation of the reference's Block Tree (ref: src/block_tree_cor
 2. hashing all candidate blocks with the base-31 mod 2^64 polynomial rolling hash over
    UTF-32 codepoints via per-doc prefix tables (H2/H3, src/block_tree_core.c:90-201),
    vectorized in one pandas UDF per document;
-3. leader election per (url, block_id, length): min(start_pos) wins; later nodes whose
-   content verifies equal become pointer nodes (is_marked=false,
-   target_pos=leader.start_pos); hash collisions with unequal content stay marked —
-   never trust a 64-bit hash alone (quirk Q6, src/block_tree_core.c:320-349,411);
+3. leader election per (url, block_id, block_id2, length): min(start_pos) wins; later
+   nodes become pointer nodes (is_marked=false, target_pos=leader.start_pos). Equality
+   is verified under TWO independent 64-bit rolling hashes (~2^-128 collision odds)
+   instead of the reference's content compare (quirk Q6, src/block_tree_core.c:
+   320-349,411) — a per-level join against the text column would shuffle the whole
+   corpus text once per level, which cannot scale; documented deviation;
 4. recurse on marked nodes until every node has length <= 1 or no candidates remain
    (src/block_tree_core.c:530-554). Each level is persisted.
 
@@ -56,13 +58,25 @@ _HASH_SCHEMA = StructType([
     StructField("start_pos", LongType()),
     StructField("length", LongType()),
     StructField("block_id", LongType()),
+    StructField("block_id2", LongType()),
 ])
+
+# second, independent rolling-hash base for the double-hash verify (odd ⇒ valid
+# polynomial base mod 2^64; golden-ratio constant, unrelated to base 31)
+VERIFY_HASH_BASE = 0x9E3779B97F4A7C15
 
 
 def _hash_blocks(nodes: DataFrame, texts: DataFrame, id_col: str,
                  text_col: str) -> DataFrame:
-    """Compute block_id for (url, start_pos, length) nodes: group nodes per doc, build
-    the prefix table once per doc, hash every node O(1) (H2)."""
+    """Compute (block_id, block_id2) for (url, start_pos, length) nodes: group nodes
+    per doc, build BOTH prefix tables once per doc, hash every node O(1) (H2).
+
+    The second hash replaces the reference's content-compare verify (quirk Q6,
+    src/block_tree_core.c:320-349): comparing under two independent 64-bit
+    polynomial hashes (combined collision odds ~2^-128 per pair) instead of joining
+    every level back to the full text column — which would shuffle the whole corpus
+    text once per tree level. Documented deviation; reconstruction correctness is
+    still asserted end-to-end by tests/test_blocktree.py::query_access."""
     grouped = (
         nodes.groupBy(id_col)
         .agg(F.collect_list(F.struct("start_pos", "length")).alias("spans"))
@@ -71,21 +85,25 @@ def _hash_blocks(nodes: DataFrame, texts: DataFrame, id_col: str,
 
     def hash_partition(batches):
         for pdf in batches:
-            out_url, out_start, out_len, out_hash = [], [], [], []
+            out_url, out_start, out_len = [], [], []
+            out_hash, out_hash2 = [], []
             for url, spans, text in zip(pdf[id_col], pdf["spans"], pdf[text_col]):
                 cps = kernel.utf8_decode_buffer(
                     kernel.squash_newlines((text or "").encode("utf-8")))
                 prefix, pow_ = kernel.rolling_prefix(cps, kernel.BLOCK_HASH_BASE)
+                prefix2, pow2 = kernel.rolling_prefix(cps, VERIFY_HASH_BASE)
                 starts = np.fromiter((s["start_pos"] for s in spans), dtype=np.int64)
                 lens = np.fromiter((s["length"] for s in spans), dtype=np.int64)
                 hashes = kernel.window_hashes(prefix, pow_, starts, lens).view(np.int64)
+                hashes2 = kernel.window_hashes(prefix2, pow2, starts, lens).view(np.int64)
                 out_url.extend([url] * len(spans))
                 out_start.extend(starts.tolist())
                 out_len.extend(lens.tolist())
                 out_hash.extend(hashes.tolist())
+                out_hash2.extend(hashes2.tolist())
             yield pd.DataFrame({
-                "url": out_url, "start_pos": out_start,
-                "length": out_len, "block_id": out_hash,
+                "url": out_url, "start_pos": out_start, "length": out_len,
+                "block_id": out_hash, "block_id2": out_hash2,
             })
 
     return grouped.mapInPandas(hash_partition, schema=_HASH_SCHEMA).withColumnRenamed(
@@ -134,28 +152,18 @@ def build_block_tree(pages: DataFrame, s: int = DEFAULT_S, tau: int = DEFAULT_TA
 
         hashed = _hash_blocks(children, texts, id_col, text_col)
 
-        # leader election per (url, block_id, length); verify content before pointing
+        # leader election per (url, block_id, block_id2, length): min(start_pos)
+        # wins; equality under BOTH independent 64-bit hashes replaces the content
+        # compare (no per-level join against the text column — see _hash_blocks)
         win_min = F.min("start_pos").over(
-            Window.partitionBy(id_col, "block_id", "length")
+            Window.partitionBy(id_col, "block_id", "block_id2", "length")
         )
-        with_leader = hashed.withColumn("leader_pos", win_min)
-        joined = with_leader.join(texts, id_col)
-        # substring is 1-based, codepoint-addressed — matches UTF-32 positions for
-        # valid UTF-8 (invalid bytes are out of scope for the tree/search legs)
-        content = F.substring(F.col(text_col), (F.col("start_pos") + 1).cast("int"),
-                              F.col("length").cast("int"))
-        leader_content = F.substring(F.col(text_col),
-                                     (F.col("leader_pos") + 1).cast("int"),
-                                     F.col("length").cast("int"))
-        resolved = joined.select(
+        resolved = hashed.withColumn("leader_pos", win_min).select(
             F.col(id_col),
             F.lit(level).alias("level"),
             "start_pos", "length", "block_id",
-            F.when(F.col("start_pos") == F.col("leader_pos"), F.lit(True))
-             .when(content == leader_content, F.lit(False))
-             .otherwise(F.lit(True)).alias("is_marked"),
-            F.when((F.col("start_pos") != F.col("leader_pos"))
-                   & (content == leader_content), F.col("leader_pos"))
+            (F.col("start_pos") == F.col("leader_pos")).alias("is_marked"),
+            F.when(F.col("start_pos") != F.col("leader_pos"), F.col("leader_pos"))
              .otherwise(F.lit(None).cast("long")).alias("target_pos"),
         ).persist()
 

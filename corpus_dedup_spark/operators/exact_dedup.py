@@ -111,10 +111,10 @@ def partition_local_keepers(pages: DataFrame, mode: str = "sentence",
     def run(batches):
         agg: dict[bytes, list] = {}
         for pdf in batches:
-            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                units = kernel.extract_units(
-                    text if isinstance(text, bytes) else (text or "").encode("utf-8"),
-                    mode, max_length)
+            raw = [t if isinstance(t, bytes) else (t or "").encode("utf-8")
+                   for t in pdf[text_col]]
+            unit_batch = kernel.extract_units_batch(raw, mode, max_length)
+            for doc_id, units in zip(pdf[id_col], unit_batch):
                 for i, u in enumerate(units):
                     e = agg.get(u)
                     if e is None:
@@ -174,8 +174,11 @@ def reassemble(units_kept: DataFrame, id_col: str = "url",
     src/dedup.c:341-351). One groupBy shuffle on the document id.
 
     Pass ``all_ids`` (a one-column DataFrame of document ids) to also emit rows for
-    documents whose every unit was a duplicate — the reference still writes an (empty)
-    output file for those (src/dedup.c:690, write happens unconditionally)."""
+    documents whose every unit was a duplicate. NOTE: this is an explicit EXTENSION,
+    not reference parity — the reference SKIPS the write when deduped_len == 0 and
+    counts the file in its files_empty counter (src/dedup.c:671-677); the default
+    (all_ids=None) matches that behavior, and the CLI's "n_in - n_written empty"
+    accounting mirrors the counter."""
     out = (
         units_kept.groupBy(id_col)
         .agg(

@@ -14,6 +14,7 @@ text (quirk Q6, src/search_mode.c:286-294).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -43,7 +44,6 @@ def build_fingerprint_index(pages: DataFrame, window: int, id_col: str = "url",
 
 
 def _raw_fingerprints_udf(window: int):
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, LongType
 
@@ -108,6 +108,23 @@ def search_many(index: DataFrame, pages: DataFrame, queries: list[str],
         .filter(F.substring(text_expr, (F.col("pos") + 1).cast("int"), qlen)
                 == F.col("query"))
         .select("query", id_col, "pos")
+    )
+
+
+def with_line_col(hits: DataFrame, pages: DataFrame, id_col: str = "url",
+                  text_col: str = "text") -> DataFrame:
+    """Attach 1-based (line, col) to (id, pos) hits — the reference prints every hit
+    as ``path:line:col``, counting '\\n' in the decoded (UNsquashed) text
+    (src/search_mode.c:288,296-303). Positions are codepoint offsets, so the
+    derivation is pure JVM expressions over the codepoint prefix: line = newlines
+    before pos + 1, col = codepoints since the last newline + 1."""
+    prefix = F.substring(F.col(text_col), 1, F.col("pos").cast("int"))
+    line = (F.length(prefix)
+            - F.length(F.replace(prefix, F.lit("\n"), F.lit(""))) + 1)
+    col = F.length(F.element_at(F.split(prefix, "\n", -1), -1)) + 1
+    return (
+        hits.join(pages.select(id_col, text_col), id_col)
+        .select(id_col, "pos", line.alias("line"), col.alias("col"))
     )
 
 

@@ -2,12 +2,21 @@
 
 The reference is a batch CLI; this is the engine's extension for continuously-arriving
 pages: readStream over the pages table directory → the SAME extraction UDF →
-``dropDuplicates`` on the normalized unit (state-store-backed — the streaming analog of
-the global sentence set), watermarked on ``warc_ts`` so late arrivals older than the
-watermark don't grow state forever.
+state-store-backed dedup on the normalized unit (the streaming analog of the global
+sentence set).
+
+State-lifetime contract (two modes):
+- ``bounded_state=True`` (default): ``dropDuplicatesWithinWatermark`` — Spark evicts a
+  unit's state once the watermark passes its event time, so memory is bounded; a
+  duplicate arriving later than the watermark delay is re-emitted. This is the
+  scale-safe mode for an unbounded stream.
+- ``bounded_state=False``: plain ``dropDuplicates`` on norm_unit — exact global
+  first-wins like the batch engine, but state grows with the distinct-unit count
+  forever (Spark only evicts dedup state when the event-time column is part of the
+  key). Use only for bounded replays.
 
 At scale: state is hash-partitioned on norm_unit (same key as the batch shuffle);
-RocksDB state store + watermark bound memory.
+RocksDB state store keeps it off-heap.
 """
 
 from __future__ import annotations
@@ -20,9 +29,10 @@ from corpus_dedup_spark.functions.udfs import make_extract_units_udf
 
 def stream_unit_dedup(spark: SparkSession, input_dir: str, schema,
                       mode: str = "sentence", max_length: int = 0,
-                      watermark: str = "1 hour") -> DataFrame:
+                      watermark: str = "1 hour",
+                      bounded_state: bool = True) -> DataFrame:
     """Streaming keep-side units: (url, unit_idx, norm_unit, warc_ts), first-wins
-    across all micro-batches via state-store dropDuplicates."""
+    across micro-batches (see module docstring for the state-lifetime contract)."""
     extract = make_extract_units_udf(mode, max_length)
     pages = (
         spark.readStream.schema(schema).parquet(input_dir)
@@ -33,6 +43,8 @@ def stream_unit_dedup(spark: SparkSession, input_dir: str, schema,
         F.posexplode(extract(F.col("text"))).alias("unit_idx", "norm_unit"),
     )
     # state key = the normalized unit bytes (never a hash alone — quirk Q6)
+    if bounded_state:
+        return units.dropDuplicatesWithinWatermark(["norm_unit"])
     return units.dropDuplicates(["norm_unit"])
 
 

@@ -70,16 +70,20 @@ def cmd_verify(args) -> int:
 def cmd_search(args) -> int:
     from corpus_dedup_spark import kernel
     from corpus_dedup_spark.operators.search import (build_fingerprint_index,
-                                                     search, search_report)
+                                                     search, search_report,
+                                                     with_line_col)
 
     spark = _session(args.cores)
     pages = spark.read.parquet(args.input)
     qlen = len(kernel.utf8_decode_buffer(args.query.encode()))
     t0 = time.time()
-    idx = build_fingerprint_index(pages, window=qlen)
-    hits = search(idx, pages, args.query).persist()
-    for r in hits.limit(args.limit).collect():
-        print(f"{r['url']}:{r['pos']}")
+    # squash=False: the reference's search mode indexes the RAW decoded text
+    # (src/search_mode.c:189-204 — no newline squash, unlike dedup mode)
+    idx = build_fingerprint_index(pages, window=qlen, squash=False)
+    hits = search(idx, pages, args.query, squash=False).persist()
+    # url:line:col hit lines, as the reference prints (src/search_mode.c:288)
+    for r in with_line_col(hits, pages).limit(args.limit).collect():
+        print(f"{r['url']}:{r['line']}:{r['col']}")
     rep = search_report(hits).collect()[0]
     print(f"hits: {rep['total_hits']}; docs with hits: {rep['docs_with_hits']}; "
           f"took {time.time() - t0:.2f}s")

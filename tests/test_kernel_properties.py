@@ -95,3 +95,49 @@ def test_window_hash_equals_direct_horner(data, a, b):
     for c in cps[s:e]:
         direct = (direct * 31 + int(c)) % (1 << 64)
     assert kernel.window_hash(prefix, pow_, s, e) == direct
+
+
+# ---------------------------------------------------------------------------
+# Batched fast paths ≡ scalar automaton (the r2 vectorization contract)
+# ---------------------------------------------------------------------------
+
+# mixes ASCII terminator/closer/abbrev soup with CJK terminators and invalid bytes
+_splitter_soup = st.lists(
+    st.one_of(
+        st.sampled_from([b"mr.", b"etc.", b"Dr. x", b"a.b", b"ab. cd", b"!!!",
+                         b"...", b"?)", b".' ", b"  ", b"\x00\x01", b"st. a",
+                         b"\xe3\x80\x82", b"\xff", b"caf\xc3\xa9. ok"]),
+        st.binary(max_size=4),
+    ),
+    max_size=40,
+).map(b"".join)
+
+
+@given(st.lists(_splitter_soup, max_size=12))
+@settings(max_examples=200, deadline=None)
+def test_split_sentences_batch_matches_scalar(texts):
+    sq = [kernel.squash_newlines(t) for t in texts]
+    assert kernel.split_sentences_batch(sq) == \
+        [kernel._split_sentences_scalar(t) for t in sq]
+
+
+@given(st.lists(_splitter_soup, max_size=12),
+       st.sampled_from([0, 5, 64]))
+@settings(max_examples=200, deadline=None)
+def test_extract_units_batch_matches_scalar(texts, max_length):
+    assert kernel.extract_units_batch(texts, "sentence", max_length) == \
+        [kernel.extract_units(t, "sentence", max_length) for t in texts]
+
+
+@given(texty)
+@settings(max_examples=200, deadline=None)
+def test_rolling_prefix_matches_horner_loop(data):
+    cps = kernel.utf8_decode_buffer(data)
+    for base, add in ((kernel.BLOCK_HASH_BASE, 0), (kernel.SEARCH_HASH_BASE, 1)):
+        prefix, pow_ = kernel.rolling_prefix(cps, base, add)
+        acc, p = 0, 1
+        for i, c in enumerate(cps):
+            acc = (acc * base + int(c) + add) % (1 << 64)
+            p = (p * base) % (1 << 64)
+            assert int(prefix[i + 1]) == acc
+            assert int(pow_[i + 1]) == p
