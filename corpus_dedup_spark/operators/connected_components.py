@@ -19,7 +19,11 @@ from pyspark.sql import functions as F
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
-    """Attach every neighbor larger than u to u's minimum neighbor (or u itself)."""
+    """Attach every neighbor larger than u to u's minimum neighbor (or u itself).
+
+    No distinct here: duplicate edges are harmless to the downstream min-agg and
+    _small_star ends with a distinct that restores canonical form — dropping it
+    saves one full sort-shuffle of the edge list per round."""
     both = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     mins = both.groupBy("src").agg(F.min("dst").alias("mn"))
     mins = mins.withColumn("m", F.least("mn", "src")).drop("mn")
@@ -27,7 +31,6 @@ def _large_star(edges: DataFrame) -> DataFrame:
         both.join(mins, "src")
         .where(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
-        .distinct()
     )
 
 
