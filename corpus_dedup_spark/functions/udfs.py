@@ -70,7 +70,7 @@ def unit_hashes_udf(unit_lists: pd.Series) -> pd.Series:
     hashes = kernel.fnv1a_many(flat).view(np.int64)
     out, pos = [], 0
     for c in counts:
-        out.append(hashes[pos:pos + c].tolist())
+        out.append(hashes[pos:pos + c])
         pos += c
     return pd.Series(out)
 
@@ -210,7 +210,7 @@ def make_features_udf(cfg: DedupConfig):
             pos += c
         sig = _signatures_from_shingle_sets(shingle_sets, a_params, b_params, num_perm)
         return pd.DataFrame({
-            "shingles": [s.view(np.int64).tolist() for s in shingle_sets],
+            "shingles": [s.view(np.int64) for s in shingle_sets],
             "sig": list(sig),
         })
 
@@ -281,17 +281,19 @@ def make_window_fingerprints_udf(window: int, base: int = kernel.SEARCH_HASH_BAS
     @pandas_udf(ArrayType(LongType()))
     def window_fps(texts: pd.Series) -> pd.Series:
         out = []
+        empty = np.empty(0, dtype=np.int64)
         for t in texts:
             cps = kernel.utf8_decode_buffer(kernel.squash_newlines(_as_bytes(t)))
             n = len(cps)
             if n < window:
-                out.append([])
+                out.append(empty)
                 continue
             prefix, pow_ = kernel.rolling_prefix(cps, base, add)
-            starts = np.arange(0, n - window + 1, dtype=np.int64)
-            lens = np.full(len(starts), window, dtype=np.int64)
-            out.append(kernel.window_hashes(prefix, pow_, starts, lens)
-                       .view(np.int64).tolist())
+            # one sliding-window subtraction, no per-position loop; kept as a numpy
+            # array — Arrow ingests it directly (a .tolist() would box every hash)
+            with np.errstate(over="ignore"):
+                w = prefix[window:] - prefix[:-window] * pow_[window]
+            out.append(w.view(np.int64))
         return pd.Series(out)
 
     return window_fps

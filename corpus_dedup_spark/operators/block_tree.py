@@ -85,8 +85,8 @@ def _hash_blocks(nodes: DataFrame, texts: DataFrame, id_col: str,
 
     def hash_partition(batches):
         for pdf in batches:
-            out_url, out_start, out_len = [], [], []
-            out_hash, out_hash2 = [], []
+            out_url: list = []
+            starts_l, lens_l, h1_l, h2_l = [], [], [], []
             for url, spans, text in zip(pdf[id_col], pdf["spans"], pdf[text_col]):
                 cps = kernel.utf8_decode_buffer(
                     kernel.squash_newlines((text or "").encode("utf-8")))
@@ -94,16 +94,19 @@ def _hash_blocks(nodes: DataFrame, texts: DataFrame, id_col: str,
                 prefix2, pow2 = kernel.rolling_prefix(cps, VERIFY_HASH_BASE)
                 starts = np.fromiter((s["start_pos"] for s in spans), dtype=np.int64)
                 lens = np.fromiter((s["length"] for s in spans), dtype=np.int64)
-                hashes = kernel.window_hashes(prefix, pow_, starts, lens).view(np.int64)
-                hashes2 = kernel.window_hashes(prefix2, pow2, starts, lens).view(np.int64)
                 out_url.extend([url] * len(spans))
-                out_start.extend(starts.tolist())
-                out_len.extend(lens.tolist())
-                out_hash.extend(hashes.tolist())
-                out_hash2.extend(hashes2.tolist())
+                starts_l.append(starts)
+                lens_l.append(lens)
+                h1_l.append(kernel.window_hashes(prefix, pow_, starts, lens))
+                h2_l.append(kernel.window_hashes(prefix2, pow2, starts, lens))
+            if not out_url:
+                continue
             yield pd.DataFrame({
-                "url": out_url, "start_pos": out_start, "length": out_len,
-                "block_id": out_hash, "block_id2": out_hash2,
+                "url": out_url,
+                "start_pos": np.concatenate(starts_l),
+                "length": np.concatenate(lens_l),
+                "block_id": np.concatenate(h1_l).view(np.int64),
+                "block_id2": np.concatenate(h2_l).view(np.int64),
             })
 
     return grouped.mapInPandas(hash_partition, schema=_HASH_SCHEMA).withColumnRenamed(

@@ -44,7 +44,7 @@ def make_shingle_set_udf(cfg: DedupConfig):
         for v in unit_lists:
             v = [bytes(u) for u in (v if v is not None else [])]
             uh = kernel.fnv1a_many(v)
-            out.append(_doc_shingles(v, uh, cfg).view(np.int64).tolist())
+            out.append(_doc_shingles(v, uh, cfg).view(np.int64))
         return pd.Series(out)
 
     return shingle_set

@@ -50,17 +50,17 @@ def _raw_fingerprints_udf(window: int):
     @pandas_udf(ArrayType(LongType()))
     def window_fps(texts: pd.Series) -> pd.Series:
         out = []
+        empty = np.empty(0, dtype=np.int64)
         for t in texts:
             cps = kernel.utf8_decode_buffer((t or "").encode("utf-8"))
             n = len(cps)
             if n < window:
-                out.append([])
+                out.append(empty)
                 continue
             prefix, pow_ = kernel.rolling_prefix(cps, kernel.SEARCH_HASH_BASE, add=1)
-            starts = np.arange(0, n - window + 1, dtype=np.int64)
-            lens = np.full(len(starts), window, dtype=np.int64)
-            out.append(kernel.window_hashes(prefix, pow_, starts, lens)
-                       .view(np.int64).tolist())
+            with np.errstate(over="ignore"):
+                w = prefix[window:] - prefix[:-window] * pow_[window]
+            out.append(w.view(np.int64))
         return pd.Series(out)
 
     return window_fps
