@@ -78,14 +78,55 @@ def utf8_decode_buffer(data: bytes) -> np.ndarray:
     arr = np.frombuffer(data, dtype=np.uint8)
     if (arr < 0x80).all():
         return arr.astype(np.uint32)
-    out = np.empty(len(data), dtype=np.uint32)
-    i, n, k = 0, len(data), 0
-    while i < n:
-        cp, adv, _inv = utf8_decode_advance(data, i, n)
-        out[k] = cp
-        k += 1
-        i += adv
-    return out[:k]
+    return _utf8_decode_vec(arr)
+
+
+def _utf8_decode_vec(arr: np.ndarray) -> np.ndarray:
+    """Vectorized decode, bit-identical to the scalar advance loop.
+
+    UTF-8 is self-synchronizing: valid sequences have non-continuation leads and
+    continuation interiors, so every non-continuation byte is a sequence start, and
+    a continuation byte is consumed iff a VALID sequence starting ≤3 bytes to its
+    left covers it — no sequential scan needed. Invalid leads (and uncovered
+    continuations) decode to one U+FFFD each and advance 1, exactly like
+    :func:`utf8_decode_advance` (zero padding makes truncated tails invalid).
+
+    Property-tested byte-for-byte against the scalar loop
+    (tests/test_kernel_properties.py).
+    """
+    n = arr.shape[0]
+    pad = np.zeros(n + 3, dtype=np.uint8)
+    pad[:n] = arr
+    b0 = arr.astype(np.uint32)
+    b1 = pad[1:n + 1].astype(np.uint32)
+    b2 = pad[2:n + 2].astype(np.uint32)
+    b3 = pad[3:n + 3].astype(np.uint32)
+    c1 = (pad[1:n + 1] & 0xC0) == 0x80
+    c2 = (pad[2:n + 2] & 0xC0) == 0x80
+    c3 = (pad[3:n + 3] & 0xC0) == 0x80
+    ascii_ = arr < 0x80
+    lead2 = (arr & 0xE0) == 0xC0
+    lead3 = (arr & 0xF0) == 0xE0
+    lead4 = (arr & 0xF8) == 0xF0
+    cp2 = ((b0 & 0x1F) << 6) | (b1 & 0x3F)
+    cp3 = ((b0 & 0x0F) << 12) | ((b1 & 0x3F) << 6) | (b2 & 0x3F)
+    cp4 = (((b0 & 0x07) << 18) | ((b1 & 0x3F) << 12)
+           | ((b2 & 0x3F) << 6) | (b3 & 0x3F))
+    v2 = lead2 & c1 & (cp2 >= 0x80)
+    v3 = lead3 & c1 & c2 & (cp3 >= 0x800) & ~((cp3 >= 0xD800) & (cp3 <= 0xDFFF))
+    v4 = lead4 & c1 & c2 & c3 & (cp4 >= 0x10000) & (cp4 <= 0x10FFFF)
+    cont = (arr & 0xC0) == 0x80
+    covered = np.zeros(n, dtype=bool)
+    covered[1:] = v2[:-1] | v3[:-1] | v4[:-1]
+    covered[2:] |= v3[:-2] | v4[:-2]
+    covered[3:] |= v4[:-3]
+    is_start = ~cont | ~covered
+    cp = np.where(
+        ascii_, b0,
+        np.where(v2, cp2,
+                 np.where(v3, cp3,
+                          np.where(v4, cp4, np.uint32(0xFFFD)))))
+    return cp[is_start]
 
 
 # ---------------------------------------------------------------------------

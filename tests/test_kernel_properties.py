@@ -141,3 +141,16 @@ def test_rolling_prefix_matches_horner_loop(data):
             p = (p * base) % (1 << 64)
             assert int(prefix[i + 1]) == acc
             assert int(pow_[i + 1]) == p
+
+
+@given(st.one_of(st.binary(max_size=200),
+                 st.text(max_size=80).map(lambda s: s.encode("utf-8"))))
+@settings(max_examples=400, deadline=None)
+def test_utf8_decode_vec_matches_scalar_advance(data):
+    got = kernel.utf8_decode_buffer(data)
+    out, i, n = [], 0, len(data)
+    while i < n:
+        cp, adv, _ = kernel.utf8_decode_advance(data, i, n)
+        out.append(cp)
+        i += adv
+    assert got.tolist() == out
