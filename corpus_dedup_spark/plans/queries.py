@@ -539,6 +539,73 @@ FROM aug a JOIN aug b ON a.text = b.text AND a.doc_id < b.doc_id
 """
 
 
+# The driver's documents are clean single-spaced printable ASCII with NO sentence
+# terminators (asserted for sf0.001/0.01/0.1), so on this input: sentence extraction
+# yields exactly [whole text], single-unit shingle sets make near-dup Jaccard ∈ {0,1},
+# and the full near-dup leg degenerates to text-equality clustering — which IS
+# SQL-expressible. These oracles run the REAL pipelines (H5→H6→J4→J5→J6 and
+# extract→keeper-agg→reassemble) end-to-end against that closed form; the rich-input
+# behavior is covered by the pytest planted-truth harness.
+
+def q_near_dup_clusters_oracle(spark, sf_dir):
+    """Whole near-dup pipeline (MinHash → LSH bands → candidates → exact-Jaccard
+    verify → connected components) on the augmented docs, oracle-checked."""
+    from corpus_dedup_spark.operators.minhash_lsh import near_dup_clusters
+
+    cfg = DedupConfig(jaccard_threshold=0.5)
+    out = near_dup_clusters(_docs_augmented(spark, sf_dir), cfg, id_col="doc_id")
+    return out.select("doc_id", "cluster_id")
+
+
+SQL_NEAR_DUP_CLUSTERS = f"""
+WITH aug AS ({SQL_AUG})
+SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS cluster_id FROM aug
+"""
+
+
+def q_sentence_dedup_docs(spark, sf_dir):
+    """Flagship reference pipeline (sentence extract → normalize → global first-wins
+    keeper agg → per-doc reassembly) on the augmented docs, oracle-checked."""
+    from corpus_dedup_spark.operators.exact_dedup import run_exact_dedup
+
+    docs = _docs_augmented(spark, sf_dir)
+    _keepers, deduped, _stats = run_exact_dedup(docs, id_col="doc_id")
+    return deduped.select("doc_id", "dedup_text", "n_units")
+
+
+SQL_SENTENCE_DEDUP_DOCS = f"""
+WITH aug AS ({SQL_AUG})
+SELECT doc_id, text AS dedup_text, CAST(1 AS BIGINT) AS n_units
+FROM (SELECT doc_id, text,
+             row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      FROM aug) t
+WHERE rn = 1
+"""
+
+
+def q_shared_blocks(spark, sf_dir):
+    """Cross-document shared-block leg (rolling-hash fingerprint grouping — the
+    distributable form of the reference's global block tree) on augmented docs."""
+    from corpus_dedup_spark.operators.block_dups import shared_block_pairs
+
+    docs = _docs_augmented(spark, sf_dir)
+    return shared_block_pairs(docs, window=32, id_col="doc_id")
+
+
+SQL_SHARED_BLOCKS = f"""
+WITH aug AS ({SQL_AUG}),
+w AS (
+  SELECT doc_id, substr(text, i, 32) AS blk
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, greatest(length(text) - 31, 0))) AS i
+        FROM aug)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared_windows
+FROM w a JOIN w b ON a.blk = b.blk AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
 def q_except_op(spark, sf_dir):
     """Set difference (the verify-mode shape: A EXCEPT B == expected remainder)."""
     docs = _docs(spark, sf_dir)
@@ -681,6 +748,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mask_filter": q_mask_filter,
     "except_op": q_except_op,
     "lsh_exact_floor": q_lsh_exact_floor,
+    "near_dup_clusters_oracle": q_near_dup_clusters_oracle,
+    "sentence_dedup_docs": q_sentence_dedup_docs,
+    "shared_blocks": q_shared_blocks,
     # rows-only (non-SQL-expressible stages)
     "minhash_signatures": q_minhash_signatures,
     "lsh_candidates": q_lsh_candidates,
@@ -713,4 +783,7 @@ ORACLES: dict[str, str] = {
     "mask_filter": SQL_MASK_FILTER,
     "except_op": SQL_EXCEPT_OP,
     "lsh_exact_floor": SQL_LSH_EXACT_FLOOR,
+    "near_dup_clusters_oracle": SQL_NEAR_DUP_CLUSTERS,
+    "sentence_dedup_docs": SQL_SENTENCE_DEDUP_DOCS,
+    "shared_blocks": SQL_SHARED_BLOCKS,
 }
