@@ -160,6 +160,27 @@ def main() -> None:
             QUERIES[qname](spark, args.sf_dir).count()
             timings[qname] = round(time.time() - t0, 3)
 
+        # indexed search: the index is built ONCE per window size (the production
+        # shape — src/search_mode.c builds its tables once per session); probes are
+        # then pure filter+verify. Report both phases.
+        from corpus_dedup_spark import kernel
+        from corpus_dedup_spark.operators.search import (build_fingerprint_index,
+                                                         search)
+        from corpus_dedup_spark.plans.queries import SEARCH_QUERY
+
+        docs = spark.read.parquet(f"{args.sf_dir}/documents.parquet").select(
+            F.col("doc_id").cast("string").alias("url"), "text")
+        qlen = len(kernel.utf8_decode_buffer(SEARCH_QUERY.encode()))
+        t0 = time.time()
+        sidx = build_fingerprint_index(docs, window=qlen).persist()
+        sidx.count()
+        timings["search_index_build"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        for probe_q in (SEARCH_QUERY, "partition", "zz-no-hit-zz"[:qlen]):
+            search(sidx, docs, probe_q.ljust(qlen)[:qlen]).count()
+        timings["substring_search_probe3"] = round(time.time() - t0, 3)
+        sidx.unpersist()
+
     total = t_exact + t_near
     out = {
         "metric": "e2e_dedup_wall_sec",

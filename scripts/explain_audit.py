@@ -71,22 +71,18 @@ def main() -> None:
         ["partial_min", "partial_count", "hashpartitioning(norm_unit"],
     ))
 
-    # 3. LSH band self-join shape
+    # 3. LSH candidate generation: ONE groupBy into capped buckets + streamed
+    # explodes; hot buckets removed by a broadcast ANTI-join before any collect
+    from corpus_dedup_spark.operators.minhash_lsh import candidate_pairs
+
     feats = doc_features(pages, cfg)
-    bands = band_explode(feats, cfg)
-    left = bands.select("band_id", "band_hash", F.col("url").alias("id_a"))
-    right = bands.select("band_id", "band_hash", F.col("url").alias("id_b"))
-    pairs = (left.join(right, ["band_id", "band_hash"])
-             .where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b").distinct())
-    lsh_plan = plan_of(pairs)
-    # at test scale Catalyst broadcasts the small band table; at scale the same plan
-    # becomes a shuffle join on the band key — accept either strategy marker
-    lsh_marker = ("BroadcastHashJoin" if "BroadcastHashJoin" in lsh_plan
-                  else "hashpartitioning(band_id")
+    pairs, _dropped = candidate_pairs(band_explode(feats, cfg), cfg)
     sections.append((
-        "LSH bucket self-join (broadcast at test scale / shuffle on band key at scale)",
-        lsh_plan,
-        [lsh_marker, "Join condition: (id_a"],
+        "LSH candidate pairs (broadcast anti-join of hot buckets -> bucket "
+        "collect_list -> streamed pair explode)",
+        plan_of(pairs),
+        ["LeftAnti", "collect_list", "Generate", "explode(",
+         "hashpartitioning(band_id"],
     ))
 
     # 4. verify join (pairs back to shingle arrays) — JVM set math, no Python
@@ -107,14 +103,40 @@ def main() -> None:
         ["Filter"],
     ))
 
+    # 6. shared-block pairs: hot-fingerprint cap must be a broadcast anti-join,
+    # never a Window sort-shuffle of the docs x chars fingerprint index
+    from corpus_dedup_spark.operators.block_dups import shared_block_pairs
+
+    sbp = shared_block_pairs(pages, window=32)
+    sections.append((
+        "Shared-block pairs (groupBy sizes + broadcast anti-join; NO window over "
+        "the fingerprint index)",
+        plan_of(sbp),
+        ["LeftAnti", "!Window"],
+    ))
+
+    # 7. search line/col derivation: pure codegen expressions, no Python
+    # (synthetic hits input so the plan isolates the derivation itself)
+    from corpus_dedup_spark.operators.search import with_line_col
+
+    hits_df = spark.createDataFrame([("1", 5)], ["url", "pos"])
+    lc = with_line_col(hits_df, pages)
+    sections.append((
+        "Search hit line/col (JVM expressions only — no UDF)",
+        plan_of(lc),
+        ["split(", "length(", "!ArrowEvalPython", "!BatchEvalPython"],
+    ))
+
     out = ["# PLANS — physical-plan audit (.explain formatted)", "",
            "Generated by scripts/explain_audit.py; assertions checked at generation "
-           "time.", ""]
+           "time. Markers prefixed '!' assert ABSENCE.", ""]
     failures = []
     for title, plan, needles in sections:
-        ok = all(n in plan for n in needles)
+        ok = all((n[1:] not in plan) if n.startswith("!") else (n in plan)
+                 for n in needles)
         if not ok:
-            missing = [n for n in needles if n not in plan]
+            missing = [n for n in needles
+                       if ((n[1:] in plan) if n.startswith("!") else (n not in plan))]
             failures.append((title, missing))
         out += [f"## {title}", "",
                 f"Checked markers: {needles} → {'OK' if ok else 'MISSING: ' + str(missing)}",
