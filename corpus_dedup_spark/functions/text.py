@@ -74,8 +74,16 @@ _LANG_MARKERS: dict[str, list[str]] = {
     "en": [" the ", " and ", " of ", " to ", " is "],
     "es": [" el ", " la ", " de ", " que ", " los "],
     "de": [" der ", " die ", " und ", " das ", " ist "],
-    "fr": [" le ", " la ", " les ", " des ", " est "],
-    "uk": [" і ", " та ", " що ", " це ", " він "],
+    "fr": [" le ", " les ", " des ", " est ", " une "],
+    "pt": [" o ", " os ", " um ", " uma ", " não "],
+    "it": [" il ", " gli ", " di ", " che ", " per "],
+    "nl": [" de ", " het ", " een ", " van ", " niet "],
+}
+# Cyrillic-script languages are disambiguated by stopword markers, not hardwired
+_CYRILLIC_MARKERS: dict[str, list[str]] = {
+    "uk": [" і ", " та ", " що ", " це ", " він ", " як ", " не "],
+    "ru": [" и ", " в ", " не ", " что ", " он ", " это ", " как "],
+    "bg": [" и ", " на ", " да ", " се ", " това ", " той "],
 }
 _CJK_RANGE = "[\\u4e00-\\u9fff\\u3040-\\u30ff]"
 _ARABIC_RANGE = "[\\u0600-\\u06ff]"
@@ -91,27 +99,34 @@ def _marker_score(text: Column, markers: list[str]) -> Column:
     return score.cast("long")
 
 
+def _marker_vote(text: Column, markers: dict[str, list[str]],
+                 default: str) -> Column:
+    """Best-scoring language from a marker table; earlier entries win ties; zero
+    score everywhere → ``default``."""
+    scores = [(lang, _marker_score(text, m)) for lang, m in markers.items()]
+    best = F.greatest(*[s for _, s in scores])
+    pick = F.lit(default)
+    # reverse order so earlier languages win ties deterministically
+    for lang, s in reversed(scores):
+        pick = F.when(s == best, F.lit(lang)).otherwise(pick)
+    return F.when(best > 0, pick).otherwise(F.lit(default))
+
+
 def lang_id_expr(text: Column) -> Column:
     """Heuristic language label: script detection first (CJK/Arabic/Cyrillic by
-    codepoint-class density), then stopword-marker votes for Latin-script languages.
+    codepoint-class density), then stopword-marker votes WITHIN the script class
+    (Cyrillic disambiguates uk/ru/bg by markers, not a hardwired label).
     Returns 'und' when nothing scores."""
     n = F.length(text)
     cjk = F.length(F.regexp_replace(text, _CJK_RANGE, "")) < n * 0.7
     ar = F.length(F.regexp_replace(text, _ARABIC_RANGE, "")) < n * 0.7
     cy = F.length(F.regexp_replace(text, _CYRILLIC_RANGE, "")) < n * 0.7
-    scores = [(lang, _marker_score(text, m)) for lang, m in _LANG_MARKERS.items()]
-    best = F.greatest(*[s for _, s in scores])
-    latin_pick = F.lit("und")
-    # reverse order so earlier languages win ties deterministically
-    for lang, s in reversed(scores):
-        latin_pick = F.when(s == best, F.lit(lang)).otherwise(latin_pick)
     return (
         F.when(n.isNull() | (n == 0), F.lit("und"))
         .when(cjk, F.lit("zh"))
         .when(ar, F.lit("ar"))
-        .when(cy, F.lit("uk"))
-        .when(best > 0, latin_pick)
-        .otherwise(F.lit("und"))
+        .when(cy, _marker_vote(text, _CYRILLIC_MARKERS, "uk"))
+        .otherwise(_marker_vote(text, _LANG_MARKERS, "und"))
     )
 
 

@@ -15,6 +15,32 @@ import re
 
 import numpy as np
 
+
+def _tune_allocator() -> None:
+    """Keep freed large malloc blocks in-process (glibc brk heap) instead of
+    returning them to the OS.
+
+    The vectorized kernels allocate tens of MB of fresh buffers per Arrow batch.
+    By default glibc serves >128 KB allocations via mmap and unmaps them on free,
+    so EVERY batch pays first-touch page faults on this class of hosts (measured
+    here: 4.3 s cold vs 0.02 s reused for one batch's buffers — and concurrent
+    workers serialize on kernel page zeroing, destroying core scaling). Raising
+    the mmap/trim thresholds makes the allocator reuse the heap across batches:
+    same fix class as shipping jemalloc/tcmalloc with production Spark workers.
+    No-op on non-glibc platforms. Costs only RSS high-water, not correctness.
+    """
+    try:
+        import ctypes
+
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        libc.mallopt(-3, 1 << 30)  # M_MMAP_THRESHOLD: big allocs from brk heap
+        libc.mallopt(-1, 1 << 30)  # M_TRIM_THRESHOLD: don't shrink heap on free
+    except Exception:
+        pass
+
+
+_tune_allocator()
+
 # ---------------------------------------------------------------------------
 # Q1 — newline squash at read time (ref: src/io_utils.c:68-88)
 # ---------------------------------------------------------------------------

@@ -208,23 +208,52 @@ def reassemble(units_kept: DataFrame, id_col: str = "url",
 
 def run_exact_dedup(pages: DataFrame, mode: str = "sentence", max_length: int = 0,
                     id_col: str = "url",
-                    materialize: bool = True) -> tuple[DataFrame, DataFrame, DataFrame]:
+                    materialize: bool = False) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Full reference-dedup pipeline: returns (marked_units, deduped_docs, stats).
 
     Uses the map-side-combining keeper aggregation (see :func:`dedup_keepers`); the
-    first element of the returned tuple is the keeper table. With ``materialize``
-    (default) it is persist()-ed once so all outputs share one computation (in
-    production this is the pipeline's stage checkpoint — see plans/pipeline.py).
+    first element of the returned tuple is the keeper table.
+
+    ``materialize`` is OFF by default: persist()-ing the keeper table was measured
+    at 15-25 s for 4M keeper rows at 8 cores (block-manager row serialization
+    dominates and does not scale with cores — it was the single biggest cost of the
+    whole pipeline). Recomputing keepers from lineage costs one extra extract+agg
+    pass and is cheaper at every scale tested. Callers that need stats AND output
+    in one job should use :func:`run_exact_dedup_observed` (stats ride along as an
+    Observation on the reassembly action — zero extra jobs). In production the
+    cross-job reuse point is the Iceberg stage checkpoint (plans/pipeline.py), not
+    the block manager.
     """
     units = explode_units(pages, mode, max_length, id_col=id_col)
     keepers = dedup_keepers(units, id_col)
     if materialize:
-        # persist, not localCheckpoint: eager block-manager materialization was
-        # measured 5x slower at 32 cores (block store write contention); lazy
-        # persist computes once on first action and serves every later branch
         keepers = keepers.persist()
     kept = keepers.drop("n_occ")
     return keepers, reassemble(kept, id_col), dedup_stats_from_keepers(keepers)
+
+
+def run_exact_dedup_observed(pages: DataFrame, mode: str = "sentence",
+                             max_length: int = 0, id_col: str = "url"):
+    """Single-job variant: returns (deduped_docs, observation).
+
+    The reference summary counters (src/dedup.c:1113-1141) are attached as a Spark
+    ``Observation`` on the keeper table, so ONE action on ``deduped_docs`` (count,
+    write, ...) computes the output AND the stats — no keeper persist, no second
+    job. Read ``observation.get`` (dict with total_units / unique_units /
+    duplicate_units / bytes_processed) after the action completes."""
+    from pyspark.sql import Observation
+
+    units = explode_units(pages, mode, max_length, id_col=id_col)
+    keepers = dedup_keepers(units, id_col)
+    obs = Observation()
+    keepers_o = keepers.observe(
+        obs,
+        F.sum("n_occ").alias("total_units"),
+        F.count(F.lit(1)).alias("unique_units"),
+        (F.sum("n_occ") - F.count(F.lit(1))).alias("duplicate_units"),
+        F.sum(F.length("norm_unit") * F.col("n_occ")).alias("bytes_processed"),
+    )
+    return reassemble(keepers_o.drop("n_occ"), id_col), obs
 
 
 def verify_no_duplicates(deduped_docs: DataFrame, mode: str = "sentence",

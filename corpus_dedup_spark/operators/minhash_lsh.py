@@ -120,17 +120,50 @@ def candidate_pairs(bands_df: DataFrame, cfg: DedupConfig,
     return pairs, dropped
 
 
+def _inter_union_udf():
+    """(sh_a blob, sh_b blob) → struct(n_inter, n_union). Shingle blobs are
+    sorted-unique u64 (see make_features_udf), so the per-pair intersection is a
+    single sorted-merge count (np.intersect1d with assume_unique)."""
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType([
+        StructField("n_inter", LongType()),
+        StructField("n_union", LongType()),
+    ])
+
+    @pandas_udf(schema)
+    def inter_union(sa: pd.Series, sb: pd.Series) -> pd.DataFrame:
+        n = len(sa)
+        ni = np.zeros(n, dtype=np.int64)
+        nu = np.zeros(n, dtype=np.int64)
+        for i, (a, b) in enumerate(zip(sa, sb)):
+            va = np.frombuffer(a or b"", dtype=np.uint64)
+            vb = np.frombuffer(b or b"", dtype=np.uint64)
+            k = np.intersect1d(va, vb, assume_unique=True).size
+            ni[i] = k
+            nu[i] = va.size + vb.size - k
+        return pd.DataFrame({"n_inter": ni, "n_union": nu})
+
+    return inter_union
+
+
 def verify_jaccard(pairs: DataFrame, features: DataFrame, cfg: DedupConfig,
                    id_col: str = "url") -> DataFrame:
-    """Exact shingle-set Jaccard for every candidate pair (J5). JVM-side set math."""
+    """Exact shingle-set Jaccard for every candidate pair (J5).
+
+    Set math runs in a vectorized pandas UDF over the packed u64 shingle blobs
+    (candidate pairs are few after banding; the blob representation keeps the
+    persisted features table cheap to cache — see make_features_udf)."""
     sh = features.select(F.col(id_col), F.col("shingles"))
+    iu = _inter_union_udf()
     out = (
         pairs.join(sh.withColumnRenamed(id_col, "id_a")
                      .withColumnRenamed("shingles", "sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b")
                 .withColumnRenamed("shingles", "sh_b"), "id_b")
-        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn("n_union", F.size(F.array_union("sh_a", "sh_b")))
+        .withColumn("_iu", iu(F.col("sh_a"), F.col("sh_b")))
+        .withColumn("n_inter", F.col("_iu.n_inter"))
+        .withColumn("n_union", F.col("_iu.n_union"))
         .withColumn(
             "jaccard",
             F.when(F.col("n_union") > 0,

@@ -547,9 +547,11 @@ FROM aug a JOIN aug b ON a.text = b.text AND a.doc_id < b.doc_id
 # extract→keeper-agg→reassemble) end-to-end against that closed form; the rich-input
 # behavior is covered by the pytest planted-truth harness.
 
-def q_near_dup_clusters_oracle(spark, sf_dir):
+def q_near_dup_clusters(spark, sf_dir):
     """Whole near-dup pipeline (MinHash → LSH bands → candidates → exact-Jaccard
-    verify → connected components) on the augmented docs, oracle-checked."""
+    verify → connected components) on the augmented docs, oracle-checked: with
+    single-unit docs, shingle Jaccard is ∈ {0,1}, so clusters must equal
+    text-equality groups labeled by their min doc_id."""
     from corpus_dedup_spark.operators.minhash_lsh import near_dup_clusters
 
     cfg = DedupConfig(jaccard_threshold=0.5)
@@ -636,11 +638,12 @@ def q_minhash_signatures(spark, sf_dir):
 
     cfg = DedupConfig()
     feats = doc_features(_docs_as_pages(spark, sf_dir), cfg)
+    # sig/shingles are packed u64 blobs (8 bytes per hash) — see make_features_udf
     return feats.select(
         "url",
-        F.size("sig").alias("sig_len"),
-        F.size("shingles").alias("n_shingles"),
-        F.xxhash64(F.col("sig").cast("array<string>").cast("string")).alias("sig_hash"),
+        (F.length("sig") / 8).cast("long").alias("sig_len"),
+        (F.length("shingles") / 8).cast("long").alias("n_shingles"),
+        F.xxhash64(F.col("sig")).alias("sig_hash"),
     )
 
 
@@ -657,13 +660,6 @@ def q_lsh_candidates(spark, sf_dir):
         band_explode(feats, cfg, id_col="doc_id"), cfg, id_col="doc_id"
     )
     return pairs
-
-
-def q_near_dup_clusters(spark, sf_dir):
-    from corpus_dedup_spark.operators.minhash_lsh import near_dup_clusters
-
-    cfg = DedupConfig(jaccard_threshold=0.5)
-    return near_dup_clusters(_docs_augmented(spark, sf_dir), cfg, id_col="doc_id")
 
 
 def q_sentence_dedup_pages(spark, sf_dir):
@@ -748,13 +744,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mask_filter": q_mask_filter,
     "except_op": q_except_op,
     "lsh_exact_floor": q_lsh_exact_floor,
-    "near_dup_clusters_oracle": q_near_dup_clusters_oracle,
+    "near_dup_clusters": q_near_dup_clusters,  # oracle-backed as of r2
     "sentence_dedup_docs": q_sentence_dedup_docs,
     "shared_blocks": q_shared_blocks,
     # rows-only (non-SQL-expressible stages)
     "minhash_signatures": q_minhash_signatures,
     "lsh_candidates": q_lsh_candidates,
-    "near_dup_clusters": q_near_dup_clusters,
     "sentence_dedup_pages": q_sentence_dedup_pages,
     "simhash": q_simhash,
     "text_profile": q_text_profile,
@@ -783,7 +778,7 @@ ORACLES: dict[str, str] = {
     "mask_filter": SQL_MASK_FILTER,
     "except_op": SQL_EXCEPT_OP,
     "lsh_exact_floor": SQL_LSH_EXACT_FLOOR,
-    "near_dup_clusters_oracle": SQL_NEAR_DUP_CLUSTERS,
+    "near_dup_clusters": SQL_NEAR_DUP_CLUSTERS,
     "sentence_dedup_docs": SQL_SENTENCE_DEDUP_DOCS,
     "shared_blocks": SQL_SHARED_BLOCKS,
 }

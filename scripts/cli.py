@@ -32,16 +32,17 @@ def _session(cores=None):
 
 
 def cmd_dedup(args) -> int:
-    from corpus_dedup_spark.operators.exact_dedup import run_exact_dedup
+    from corpus_dedup_spark.operators.exact_dedup import run_exact_dedup_observed
 
     spark = _session(args.cores)
     pages = spark.read.parquet(args.input)
     t0 = time.time()
-    keepers, deduped, stats = run_exact_dedup(pages, args.mode, args.max_length)
+    # single job: the write computes the output AND the summary counters
+    deduped, obs = run_exact_dedup_observed(pages, args.mode, args.max_length)
     deduped.write.mode("overwrite").parquet(args.output)
     s = spark.read.parquet(args.output)
     n_written = s.count()
-    st = stats.collect()[0]
+    st = obs.get
     elapsed = time.time() - t0
     total = st["total_units"]
     dups = st["duplicate_units"]

@@ -14,14 +14,20 @@ def test_char_mode_signatures(spark):
          ("c", "the quick brown fox jumps over the lazy cat tonight"),
          ("d", "completely unrelated text with nothing shared here")],
         ["url", "text"])
+    import numpy as np
+
     feats = {r["url"]: r for r in doc_features(df, cfg).collect()}
     assert feats["a"]["sig"] == feats["b"]["sig"]          # exact dup guarantee
     assert feats["a"]["shingles"] == feats["b"]["shingles"]
+
+    def shingle_set(url):  # shingles are packed u64 blobs
+        return set(np.frombuffer(bytes(feats[url]["shingles"]), np.uint64).tolist())
+
     # one-word edit: most 5-gram shingles shared, but not all
-    sa, sc = set(feats["a"]["shingles"]), set(feats["c"]["shingles"])
+    sa, sc = shingle_set("a"), shingle_set("c")
     j = len(sa & sc) / len(sa | sc)
     assert 0.6 < j < 1.0
-    sd = set(feats["d"]["shingles"])
+    sd = shingle_set("d")
     assert len(sa & sd) / len(sa | sd) < 0.3
 
 

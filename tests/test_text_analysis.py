@@ -20,6 +20,8 @@ def samples(spark):
          ("zh", "这是一个测试文档。它包含中文文本。我们用它来测试语言识别。" * 6),
          ("ar", "هذا نص تجريبي باللغة العربية للاختبار والتقييم " * 6),
          ("uk", "Це тестовий документ і він містить текст що написаний українською. " * 6),
+         ("ru", "Это тестовый документ и он содержит текст что написан на русском языке. " * 6),
+         ("fr", "Le chien est dans la rue et les chats vivent dans une des maisons. " * 6),
          ("junk", "@@@@ #### $$$$ %%%% ^^^^ &&&& 1234567890"),
          ("empty", "")],
         ["label", "text"])
@@ -34,6 +36,8 @@ def test_lang_id(spark, samples):
     assert got["zh"] == "zh"
     assert got["ar"] == "ar"
     assert got["uk"] == "uk"
+    assert got["ru"] == "ru"
+    assert got["fr"] == "fr"
     assert got["empty"] == "und"
 
 
