@@ -76,6 +76,22 @@ def band_explode(features: DataFrame, cfg: DedupConfig, id_col: str = "url") -> 
     )
 
 
+def doc_band_features(pages: DataFrame, cfg: DedupConfig, id_col: str = "url",
+                      text_col: str = "text") -> DataFrame:
+    """pages → (id, shingles, bands): the near-dup pipeline's ONE feature pass
+    (extraction + shingling + MinHash + band hashing fused; the signature never
+    leaves the worker — see make_band_features_udf)."""
+    from corpus_dedup_spark.functions.udfs import make_band_features_udf
+
+    features = make_band_features_udf(cfg)
+    return (
+        pages.select(id_col, text_col)
+        .withColumn("_f", features(F.col(text_col)))
+        .select(id_col, F.col("_f.shingles").alias("shingles"),
+                F.col("_f.bands").alias("bands"))
+    )
+
+
 def candidate_pairs(bands_df: DataFrame, cfg: DedupConfig,
                     id_col: str = "url") -> tuple[DataFrame, DataFrame]:
     """Bucket self-join → distinct candidate pairs (id_a < id_b).
@@ -180,9 +196,13 @@ def near_dup_edges(pages: DataFrame, cfg: DedupConfig,
 
     verified_pairs = candidates with exact Jaccard ≥ cfg.jaccard_threshold.
     """
-    # features feed both the band explode and the verify join — materialize once
-    features = doc_features(pages, cfg, id_col).persist()
-    bands_df = band_explode(features, cfg, id_col)
+    # ONE fused UDF pass; features feed both the band explode and the verify
+    # join — materialize once (the persisted row is just a shingle blob + 32
+    # band hashes, the cheap-to-cache representation)
+    features = doc_band_features(pages, cfg, id_col).persist()
+    bands_df = features.select(
+        id_col, F.posexplode("bands").alias("band_id", "band_hash")
+    )
     pairs, dropped = candidate_pairs(bands_df, cfg, id_col)
     verified = verify_jaccard(pairs, features, cfg, id_col).filter(
         F.col("jaccard") >= F.lit(cfg.jaccard_threshold)

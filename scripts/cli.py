@@ -31,11 +31,24 @@ def _session(cores=None):
     return s
 
 
+def _apply_mask(pages, mask: str):
+    """The reference filters input files by an fnmatch mask (default '*.txt',
+    src/config.c:4; matcher src/dedup.c:899-1014). The engine's unit of input is a
+    table row, so the mask applies to the url column; default '*' keeps all rows."""
+    if mask and mask != "*":
+        from pyspark.sql import functions as F
+
+        from corpus_dedup_spark.functions.text import glob_to_rlike
+
+        return pages.filter(F.col("url").rlike(glob_to_rlike(mask)))
+    return pages
+
+
 def cmd_dedup(args) -> int:
     from corpus_dedup_spark.operators.exact_dedup import run_exact_dedup_observed
 
     spark = _session(args.cores)
-    pages = spark.read.parquet(args.input)
+    pages = _apply_mask(spark.read.parquet(args.input), args.mask)
     t0 = time.time()
     # single job: the write computes the output AND the summary counters
     deduped, obs = run_exact_dedup_observed(pages, args.mode, args.max_length)
@@ -75,7 +88,7 @@ def cmd_search(args) -> int:
                                                      with_line_col)
 
     spark = _session(args.cores)
-    pages = spark.read.parquet(args.input)
+    pages = _apply_mask(spark.read.parquet(args.input), args.mask)
     qlen = len(kernel.utf8_decode_buffer(args.query.encode()))
     t0 = time.time()
     # squash=False: the reference's search mode indexes the RAW decoded text
@@ -101,6 +114,9 @@ def main() -> None:
                        choices=["sentence", "line", "paragraph", "document"])
         p.add_argument("--max-length", type=int, default=0)
         p.add_argument("--cores", type=int, default=None)
+        p.add_argument("--mask", default="*",
+                       help="fnmatch glob applied to url (reference: file mask, "
+                            "default '*.txt'; tables default to '*')")
         if name == "dedup":
             p.add_argument("--output", required=True)
         if name == "search":
