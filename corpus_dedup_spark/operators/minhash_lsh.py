@@ -105,7 +105,10 @@ def candidate_pairs(bands_df: DataFrame, cfg: DedupConfig,
     # > max_bucket_size members), so the drop set broadcasts and the band table is
     # filtered with a broadcast anti-join BEFORE any bucket materialization — no
     # reducer ever collects an uncapped bucket.
-    bands = bands_df
+    # ONE shuffle of band rows: pre-partition on the bucket key so BOTH the sizing
+    # aggregation and the bucket collect below run exchange-free on the same
+    # partitioning (at scale the band-row shuffle is ~3 TB — halving it matters)
+    bands = bands_df.repartition("band_id", "band_hash")
     sizes = bands.groupBy("band_id", "band_hash").agg(F.count("*").alias("bucket_n"))
     dropped = sizes.filter(F.col("bucket_n") > cfg.max_bucket_size)
     ok = bands.join(
