@@ -78,10 +78,15 @@ def main() -> None:
     from corpus_dedup_spark.plans.queries import QUERIES
     from corpus_dedup_spark.plans.session import build_session
 
+    # 3 waves per stage: with exactly one task per core, a single straggler
+    # (co-tenant CPU steal, residual skew) idles every other core for the whole
+    # stage tail; 3x tasks lets the scheduler rebalance. AQE may still coalesce
+    # small shuffles below this — parts is the *initial* partition count.
+    parts = max(3 * args.cores, 8)
     spark = build_session(
         app_name=f"bench_c{args.cores}",
         master=f"local[{args.cores}]",
-        shuffle_partitions=max(args.cores, 8),
+        shuffle_partitions=parts,
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -89,14 +94,14 @@ def main() -> None:
 
     pages = spark.read.parquet(pages_path)
     n_docs = pages.count()
-    pages = pages.repartition(max(args.cores, 8)).cache()
+    pages = pages.repartition(parts).cache()
     pages.count()  # warm cache so generation/IO is excluded from pipeline timings
 
     # Warm-up: spawn/reuse the Python UDF workers and JIT the JVM paths on a small
     # slice, so timings reflect steady-state executors (a real cluster's workers are
     # long-lived); cold-start worker fork/import otherwise dominates at high core
     # counts and corrupts the N-vs-4N comparison.
-    warm = pages.limit(4000).repartition(max(args.cores, 8))
+    warm = pages.limit(4000).repartition(parts)
     run_exact_dedup(warm)[2].collect()
     near_dup_clusters(warm, DedupConfig(jaccard_threshold=0.5)).count()
 

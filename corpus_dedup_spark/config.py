@@ -35,6 +35,13 @@ class DedupConfig:
     lsh_bands: int = 32             # 32 bands x 4 rows: s-curve threshold ~0.42
     lsh_rows: int = 4
     minhash_seed: int = 1215752193  # any fixed odd-ish seed; drives (a, b) draws
+    # "oph": one-permutation hashing + rotation densification (Li et al. 2012,
+    # Shrivastava & Li 2014) — one pass over the shingles instead of num_perm
+    # passes; ~10x less memory traffic (the classic scheme saturates the memory
+    # bus at high core counts). "classic": per-permutation multiply-shift minhash.
+    # Both are pure functions of the shingle set: identical sets ⇒ identical
+    # signatures, so the exact-duplicate floor holds under either scheme.
+    minhash_scheme: str = "oph"
 
     # candidate hygiene at scale
     max_bucket_size: int = 2000     # LSH buckets above this are sampled + logged (skew cap)
@@ -51,6 +58,8 @@ class DedupConfig:
             raise ValueError(f"bad mode {self.mode!r}")
         if self.lsh_bands * self.lsh_rows != self.num_perm:
             raise ValueError("lsh_bands * lsh_rows must equal num_perm")
+        if self.minhash_scheme not in ("oph", "classic"):
+            raise ValueError(f"bad minhash_scheme {self.minhash_scheme!r}")
 
     def config_hash(self) -> str:
         d = asdict(self)

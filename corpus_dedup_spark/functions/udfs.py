@@ -151,6 +151,64 @@ def _signatures_from_shingle_sets(shingle_sets: list[np.ndarray],
     return out.view(np.int64)
 
 
+def _oph_signatures_from_shingle_sets(shingle_sets: list[np.ndarray],
+                                      a0: np.uint64, b0: np.uint64,
+                                      num_perm: int) -> np.ndarray:
+    """One-permutation MinHash with rotation densification (Li et al. 2012;
+    Shrivastava & Li, "Densifying One Permutation Hashing...", ICML 2014).
+
+    ONE multiply-shift pass over all shingles (vs num_perm passes classically):
+    each shingle is hashed once, assigned to bin ``h % num_perm``, and the bin
+    keeps its minimum. Empty bins borrow the value of the next non-empty bin to
+    the circular right plus ``dist * C`` (C a large odd constant), so two sets
+    agree on a densified bin iff they agree on the borrowed bin AND the borrow
+    distance — the unbiased-estimator construction from the paper. Pure function
+    of the shingle set: identical sets ⇒ identical signatures. Empty sets get the
+    all-max sentinel row, as in the classic scheme."""
+    n = len(shingle_sets)
+    P = num_perm
+    MAX = np.iinfo(np.uint64).max
+    C = _U64(0x9E3779B97F4A7C15)  # odd (golden-ratio) constant; wrapping u64
+    mat = np.full((n, P), MAX, dtype=_U64)
+    s_counts = np.fromiter((len(s) for s in shingle_sets), dtype=np.int64, count=n)
+    total = int(s_counts.sum())
+    if total:
+        hs = np.concatenate([s for s in shingle_sets if len(s)]).view(_U64)
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), s_counts)
+        with np.errstate(over="ignore"):
+            hv = hs * a0 + b0
+        bins = (hv % _U64(P)).astype(np.int64)
+        flat = mat.reshape(-1)
+        np.minimum.at(flat, doc_idx * P + bins, hv)
+        # rotation densification, vectorized: index of next non-empty bin at or
+        # to the right (circular) via a reversed running-min over bin indices
+        mask = mat != MAX
+        nonempty_rows = mask.any(axis=1)
+        if not nonempty_rows.all() or not mask.all():
+            big = 2 * P
+            ext_idx = np.where(np.concatenate([mask, mask], axis=1),
+                               np.arange(2 * P, dtype=np.int64)[None, :], big)
+            nxt = np.minimum.accumulate(ext_idx[:, ::-1], axis=1)[:, ::-1][:, :P]
+            take = np.minimum(nxt, 2 * P - 1)
+            src = np.take_along_axis(np.concatenate([mat, mat], axis=1), take, axis=1)
+            dist = (take - np.arange(P, dtype=np.int64)[None, :]).astype(_U64)
+            with np.errstate(over="ignore"):
+                dens = src + dist * C
+            mat = np.where(mask, mat, dens)
+            mat[~nonempty_rows] = MAX  # all-empty docs keep the sentinel row
+    return mat.view(np.int64)
+
+
+def _signatures(shingle_sets: list[np.ndarray], a_params: np.ndarray,
+                b_params: np.ndarray, cfg: DedupConfig) -> np.ndarray:
+    """Scheme dispatcher — see DedupConfig.minhash_scheme."""
+    if cfg.minhash_scheme == "oph":
+        return _oph_signatures_from_shingle_sets(
+            shingle_sets, a_params[0], b_params[0], cfg.num_perm)
+    return _signatures_from_shingle_sets(
+        shingle_sets, a_params, b_params, cfg.num_perm)
+
+
 def make_minhash_udf(cfg: DedupConfig):
     """array<binary> units → array<int64> MinHash signature (num_perm values).
 
@@ -176,7 +234,7 @@ def make_minhash_udf(cfg: DedupConfig):
         for units, c in zip(lists, counts):
             shingle_sets.append(_doc_shingles(units, uh[pos:pos + c], cfg))
             pos += c
-        sig = _signatures_from_shingle_sets(shingle_sets, a_params, b_params, num_perm)
+        sig = _signatures(shingle_sets, a_params, b_params, cfg)
         return pd.Series(list(sig))
 
     return minhash_signature
@@ -214,7 +272,7 @@ def make_features_udf(cfg: DedupConfig):
         for units, c in zip(unit_lists, counts):
             shingle_sets.append(_doc_shingles(units, uh[pos:pos + c], cfg))
             pos += c
-        sig = _signatures_from_shingle_sets(shingle_sets, a_params, b_params, num_perm)
+        sig = _signatures(shingle_sets, a_params, b_params, cfg)
         return pd.DataFrame({
             "shingles": [s.tobytes() for s in shingle_sets],
             "sig": [row.tobytes() for row in sig],
@@ -269,8 +327,7 @@ def make_band_features_udf(cfg: DedupConfig):
         for units, c in zip(unit_lists, counts):
             shingle_sets.append(_doc_shingles(units, uh[pos:pos + c], cfg))
             pos += c
-        sig = _signatures_from_shingle_sets(
-            shingle_sets, a_params, b_params, num_perm).view(_U64)
+        sig = _signatures(shingle_sets, a_params, b_params, cfg).view(_U64)
         bh = _band_hashes_from_sig_matrix(sig, bands, rows)
         return pd.DataFrame({
             "shingles": [s.tobytes() for s in shingle_sets],

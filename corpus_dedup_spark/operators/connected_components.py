@@ -49,8 +49,50 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return relink.union(self_link).distinct()
 
 
+def _driver_union_find(edge_rows: list, spark, id_type) -> DataFrame:
+    """Union-find over a collected edge list → labels DataFrame.
+
+    Path-halving + union-by-attachment to the minimum id; cluster_id = minimum
+    member, identical to the distributed star algorithm's fixpoint."""
+    from pyspark.sql.types import StructField, StructType
+
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            parent[r] = parent[parent[r]]
+            r = parent[r]
+        return r
+
+    for a, b in edge_rows:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    labels = [(n, find(n)) for n in parent]
+    schema = StructType([StructField("node", id_type, False),
+                         StructField("cluster_id", id_type, False)])
+    return spark.createDataFrame(labels, schema=schema)
+
+
+# Below this edge count the component graph is collected and solved with a driver
+# union-find: the iterative star rounds cost 2 shuffle stages + a driver sync EACH
+# (pure serial time — the Amdahl term of the whole near-dup leg), while 2M edges
+# collect in ~100 MB and solve in well under a second. Above it, the distributed
+# star loop runs as before (at 10^12 docs the edge list is ~10^11 rows — the
+# threshold is decided by an O(1) count, never by collecting first).
+DRIVER_CC_MAX_EDGES = 2_000_000
+
+
 def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
-                         max_iter: int = 25) -> DataFrame:
+                         max_iter: int = 25,
+                         driver_max_edges: int = DRIVER_CC_MAX_EDGES) -> DataFrame:
     """edges(src, dst) → labels(node, cluster_id) for every node appearing in edges.
 
     cluster_id = minimum node id in the component. Singleton nodes (no edges) are the
@@ -62,12 +104,21 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
         .distinct()
         .localCheckpoint()
     )
-    if e.isEmpty():
+    n_edges = e.count()
+    if n_edges == 0:
         return e.select(F.col("src").alias("node"), F.col("dst").alias("cluster_id"))
+    if driver_max_edges and n_edges <= driver_max_edges:
+        rows = e.collect()
+        return _driver_union_find([(r[0], r[1]) for r in rows], e.sparkSession,
+                                  e.schema["src"].dataType)
 
     prev_sig = None
     for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint()
+        # LAZY checkpoint + signature agg in ONE action: the agg pass materializes
+        # the checkpoint blocks as a side effect, halving the per-round job count
+        # (each round's driver sync is pure serial time — the Amdahl term that
+        # caps N→4N scaling efficiency on short iterative stages).
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         sig_row = e.agg(
             F.count("*").alias("n"),
             F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),

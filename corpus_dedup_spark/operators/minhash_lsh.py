@@ -100,18 +100,19 @@ def candidate_pairs(bands_df: DataFrame, cfg: DedupConfig,
     excluded from the join and reported for lineage (skew cap — a 1M-member
     boilerplate bucket would otherwise produce 10^12 pairs).
     """
-    # Sizing via groupBy (map-side partial combine — cheaper than a window, which
-    # sort-shuffles every band row). Hot buckets are by definition FEW (each holds
-    # > max_bucket_size members), so the drop set broadcasts and the band table is
-    # filtered with a broadcast anti-join BEFORE any bucket materialization — no
-    # reducer ever collects an uncapped bucket.
-    # ONE shuffle of band rows: pre-partition on the bucket key so BOTH the sizing
-    # aggregation and the bucket collect below run exchange-free on the same
-    # partitioning (at scale the band-row shuffle is ~3 TB — halving it matters)
-    bands = bands_df.repartition("band_id", "band_hash")
-    sizes = bands.groupBy("band_id", "band_hash").agg(F.count("*").alias("bucket_n"))
+    # Sizing via groupBy with MAP-SIDE PARTIAL COMBINE: each task counts its own
+    # bucket keys locally, so the sizing shuffle carries ~distinct buckets, not
+    # every band row (an explicit pre-repartition was measured to defeat the
+    # partial aggregate — partial_count lands AFTER the exchange — turning sizing
+    # into a second full band-row shuffle; at scale that shuffle is ~3 TB).
+    # Hot buckets are by definition FEW (each holds > max_bucket_size members), so
+    # the drop set broadcasts and the band table is filtered with a broadcast
+    # anti-join BEFORE any bucket materialization — no reducer ever collects an
+    # uncapped bucket. Net: ONE full band-row shuffle (the bucket collect below).
+    sizes = bands_df.groupBy("band_id", "band_hash").agg(
+        F.count("*").alias("bucket_n"))
     dropped = sizes.filter(F.col("bucket_n") > cfg.max_bucket_size)
-    ok = bands.join(
+    ok = bands_df.join(
         F.broadcast(dropped.select("band_id", "band_hash")),
         ["band_id", "band_hash"], "left_anti",
     )
@@ -163,7 +164,11 @@ def _inter_union_udf():
             nu[i] = va.size + vb.size - k
         return pd.DataFrame({"n_inter": ni, "n_union": nu})
 
-    return inter_union
+    # The UDF is pure, but letting Catalyst treat it as deterministic allows the
+    # downstream jaccard-threshold Filter to push through the Project and
+    # RE-EVALUATE the UDF (two ArrowEvalPython nodes, 2x the verify cost —
+    # observed in the physical plan). Non-deterministic pins it to one evaluation.
+    return inter_union.asNondeterministic()
 
 
 def verify_jaccard(pairs: DataFrame, features: DataFrame, cfg: DedupConfig,
@@ -201,8 +206,12 @@ def near_dup_edges(pages: DataFrame, cfg: DedupConfig,
     """
     # ONE fused UDF pass; features feed both the band explode and the verify
     # join — materialize once (the persisted row is just a shingle blob + 32
-    # band hashes, the cheap-to-cache representation)
-    features = doc_band_features(pages, cfg, id_col).persist()
+    # band hashes, the cheap-to-cache representation). Persist PARTITIONED ON THE
+    # ID: the cached partitioning satisfies both verify joins (id_a, then id_b via
+    # alias-aware output partitioning), so the shingle-blob table crosses the wire
+    # once at persist time instead of once per join — at 100 TB the blob table is
+    # the second-largest shuffle after the band rows.
+    features = doc_band_features(pages, cfg, id_col).repartition(id_col).persist()
     bands_df = features.select(
         id_col, F.posexplode("bands").alias("band_id", "band_hash")
     )
