@@ -154,17 +154,23 @@ def _signatures_from_shingle_sets(shingle_sets: list[np.ndarray],
 def _oph_signatures_from_shingle_sets(shingle_sets: list[np.ndarray],
                                       a0: np.uint64, b0: np.uint64,
                                       num_perm: int) -> np.ndarray:
-    """One-permutation MinHash with rotation densification (Li et al. 2012;
-    Shrivastava & Li, "Densifying One Permutation Hashing...", ICML 2014).
+    """One-permutation MinHash with OPTIMAL densification (Li et al. 2012;
+    Shrivastava, "Optimal Densification for Fast and Accurate Minwise Hashing",
+    ICML 2017).
 
     ONE multiply-shift pass over all shingles (vs num_perm passes classically):
     each shingle is hashed once, assigned to bin ``h % num_perm``, and the bin
-    keeps its minimum. Empty bins borrow the value of the next non-empty bin to
-    the circular right plus ``dist * C`` (C a large odd constant), so two sets
-    agree on a densified bin iff they agree on the borrowed bin AND the borrow
-    distance — the unbiased-estimator construction from the paper. Pure function
-    of the shingle set: identical sets ⇒ identical signatures. Empty sets get the
-    all-max sentinel row, as in the classic scheme."""
+    keeps its minimum. Empty bins probe a sequence of OTHER bins chosen by fixed
+    per-attempt permutations (functions of the bin index only, shared across all
+    sets) and copy the first non-empty bin's value plus ``attempt * C``. The
+    per-attempt offset makes a densified bin match iff both sets borrowed from
+    the same source bin at the same attempt — the unbiased construction. Rotation
+    densification (ICML 2014) was measured here to CORRELATE adjacent bins on
+    sparse sets (~25 shingles in 128 bins): one shared shingle could light up an
+    entire band and candidate pairs exploded 31x; hashed probing decorrelates the
+    band rows. Pure function of the shingle set: identical sets ⇒ identical
+    signatures. Empty sets keep the all-max sentinel row, as in the classic
+    scheme."""
     n = len(shingle_sets)
     P = num_perm
     MAX = np.iinfo(np.uint64).max
@@ -180,23 +186,62 @@ def _oph_signatures_from_shingle_sets(shingle_sets: list[np.ndarray],
         bins = (hv % _U64(P)).astype(np.int64)
         flat = mat.reshape(-1)
         np.minimum.at(flat, doc_idx * P + bins, hv)
-        # rotation densification, vectorized: index of next non-empty bin at or
-        # to the right (circular) via a reversed running-min over bin indices
         mask = mat != MAX
         nonempty_rows = mask.any(axis=1)
-        if not nonempty_rows.all() or not mask.all():
-            big = 2 * P
-            ext_idx = np.where(np.concatenate([mask, mask], axis=1),
-                               np.arange(2 * P, dtype=np.int64)[None, :], big)
-            nxt = np.minimum.accumulate(ext_idx[:, ::-1], axis=1)[:, ::-1][:, :P]
-            take = np.minimum(nxt, 2 * P - 1)
-            src = np.take_along_axis(np.concatenate([mat, mat], axis=1), take, axis=1)
-            dist = (take - np.arange(P, dtype=np.int64)[None, :]).astype(_U64)
-            with np.errstate(over="ignore"):
-                dens = src + dist * C
+        if not mask.all():
+            dens = _optimal_densify(mat, mask, C)
             mat = np.where(mask, mat, dens)
             mat[~nonempty_rows] = MAX  # all-empty docs keep the sentinel row
     return mat.view(np.int64)
+
+
+def _probe_tables(P: int, attempts: int) -> np.ndarray:
+    """(attempts × P) probe targets: attempt k sends empty bin j to perm_k[j].
+    Fixed (seeded by P alone) so every set shares the probe sequence — required
+    for two sets to densify bin j from the SAME candidate source bins."""
+    rng = np.random.default_rng(0xD1CE + P)
+    return np.stack([rng.permutation(P) for _ in range(attempts)]).astype(np.int64)
+
+
+_PROBE_ATTEMPTS = 24
+
+
+def _optimal_densify(mat: np.ndarray, mask: np.ndarray, C: np.uint64) -> np.ndarray:
+    """Fill empty bins by hashed-permutation probing against the ORIGINAL
+    occupancy; ragged (only still-empty entries are touched each attempt).
+    Entries unfilled after all attempts (P(miss)^attempts, negligible for any
+    non-degenerate set) fall back to circular rotation with a distinct offset."""
+    n, P = mat.shape
+    probes = _probe_tables(P, _PROBE_ATTEMPTS)
+    rows, cols = np.nonzero(~mask)
+    dens = np.zeros(n * P, dtype=_U64)
+    remaining = np.arange(rows.size)
+    with np.errstate(over="ignore"):
+        for k in range(_PROBE_ATTEMPTS):
+            if remaining.size == 0:
+                break
+            r = rows[remaining]
+            src = probes[k][cols[remaining]]
+            ok = mask[r, src]
+            hit = remaining[ok]
+            dens[rows[hit] * P + cols[hit]] = (
+                mat[rows[hit], probes[k][cols[hit]]] + _U64(k + 1) * C)
+            remaining = remaining[~ok]
+        if remaining.size:
+            # rotation fallback for the (rare) unfilled tail: next non-empty bin
+            # to the circular right of the probe end, offset far past attempts
+            r, c = rows[remaining], cols[remaining]
+            for d in range(1, P):
+                if remaining.size == 0:
+                    break
+                src = (c + d) % P
+                ok = mask[r, src]
+                dens[r[ok] * P + c[ok]] = (
+                    mat[r[ok], src[ok]]
+                    + (_U64(_PROBE_ATTEMPTS + d) * C))
+                r, c = r[~ok], c[~ok]
+                remaining = remaining[~ok]
+    return dens.reshape(n, P)
 
 
 def _signatures(shingle_sets: list[np.ndarray], a_params: np.ndarray,
