@@ -85,13 +85,21 @@ def main() -> None:
          "hashpartitioning(band_id"],
     ))
 
-    # 4. verify join (pairs back to shingle arrays) — JVM set math, no Python
+    # 4. verify join (pairs back to packed shingle blobs) — ONE Arrow-batched
+    # UDF evaluation (a deterministic UDF lets the threshold filter push through
+    # the projection and re-evaluate it; asNondeterministic pins one eval), and
+    # the downstream threshold filter must NOT re-run it
     pairs_df = spark.createDataFrame([("a", "b")], ["id_a", "id_b"])
-    ver = verify_jaccard(pairs_df, feats, cfg)
+    ver = verify_jaccard(pairs_df, feats, cfg).filter(
+        F.col("jaccard") >= F.lit(cfg.jaccard_threshold))
+    ver_plan = plan_of(ver)
     sections.append((
-        "Exact-Jaccard verify join (array_intersect/union in codegen)",
-        plan_of(ver),
-        ["array_intersect", "array_union"],
+        "Exact-Jaccard verify join (one Arrow-batched inter/union eval, "
+        "threshold filter does not duplicate the UDF)",
+        ver_plan,
+        ["inter_union", "ArrowEvalPython"]
+        + (["!__DUP_UDF__"] if ver_plan.count("inter_union(") == 1
+           else ["__DUP_UDF__"]),
     ))
 
     # 5. search probe: fingerprint filter + substring verify
