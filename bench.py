@@ -78,11 +78,15 @@ def main() -> None:
     from corpus_dedup_spark.plans.queries import QUERIES
     from corpus_dedup_spark.plans.session import build_session
 
-    # 3 waves per stage: with exactly one task per core, a single straggler
-    # (co-tenant CPU steal, residual skew) idles every other core for the whole
-    # stage tail; 3x tasks lets the scheduler rebalance. AQE may still coalesce
-    # small shuffles below this — parts is the *initial* partition count.
-    parts = max(3 * args.cores, 8)
+    # Scale-aware task granularity: ~8k docs (~12 MB text) per task, clamped to
+    # [max(cores, 8), 3*cores]. The upper bound gives 3 waves per stage so a
+    # single straggler (co-tenant CPU steal, residual skew) cannot idle the other
+    # cores for a stage tail; the lower bound stops tiny inputs from paying 96
+    # tasks' fixed cost (measured 2x the whole near-dup leg at 50k docs / 32
+    # cores). AQE may still coalesce small shuffles below this — parts is the
+    # *initial* partition count.
+    n_docs_hint = args.n_docs or max(1000, int(500_000 * sf))
+    parts = max(args.cores, 8, min(3 * args.cores, n_docs_hint // 8000))
     spark = build_session(
         app_name=f"bench_c{args.cores}",
         master=f"local[{args.cores}]",

@@ -38,7 +38,8 @@ def main() -> None:
                                                           verify_jaccard)
     from corpus_dedup_spark.plans.session import build_session
 
-    parts = args.parts or max(3 * args.cores, 8)
+    parts = args.parts or max(
+        args.cores, 8, min(3 * args.cores, args.n_docs // 8000))
     spark = build_session(app_name=f"prof_c{args.cores}",
                           master=f"local[{args.cores}]",
                           shuffle_partitions=parts)
