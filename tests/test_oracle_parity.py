@@ -61,3 +61,15 @@ def test_oracle_parity(spark, sf_dir, duck, name):
         f"{name}: row count {len(s_set)} vs {len(d_set)}")
     assert s_set == d_set, f"{name}: value mismatch; first diff: " + str(
         next(((a, b) for a, b in zip(s_set, d_set) if a != b), None))
+    # STRICT driver-level compare: the external driver hashes repr()s with NO
+    # numeric coercion, so a DuckDB HUGEINT/Decimal or a banker's-rounding tie
+    # that the friendly compare above absorbs would still fail the round gate.
+    # Keep both: the friendly diff localizes a failure, this catches it at all.
+    s_repr = sorted(tuple(repr(r[i]) for i in
+                          sorted(range(len(scols)), key=lambda i: scols[i]))
+                    for r in srows)
+    d_repr = sorted(tuple(repr(r[i]) for i in
+                          sorted(range(len(dcols)), key=lambda i: dcols[i]))
+                    for r in drows)
+    assert s_repr == d_repr, f"{name}: STRICT repr mismatch; first diff: " + str(
+        next(((a, b) for a, b in zip(s_repr, d_repr) if a != b), None))
