@@ -85,7 +85,9 @@ _CYRILLIC_MARKERS: dict[str, list[str]] = {
     "ru": [" и ", " в ", " не ", " что ", " он ", " это ", " как "],
     "bg": [" и ", " на ", " да ", " се ", " това ", " той "],
 }
-_CJK_RANGE = "[\\u4e00-\\u9fff\\u3040-\\u30ff]"
+_CJK_RANGE = "[\\u4e00-\\u9fff\\u3040-\\u30ff\\uac00-\\ud7af]"
+_KANA_RANGE = "[\\u3040-\\u30ff]"
+_HANGUL_RANGE = "[\\uac00-\\ud7af]"
 _ARABIC_RANGE = "[\\u0600-\\u06ff]"
 _CYRILLIC_RANGE = "[\\u0400-\\u04ff]"
 
@@ -119,10 +121,17 @@ def lang_id_expr(text: Column) -> Column:
     Returns 'und' when nothing scores."""
     n = F.length(text)
     cjk = F.length(F.regexp_replace(text, _CJK_RANGE, "")) < n * 0.7
+    # within the CJK class: any kana ⇒ Japanese, hangul-dominant ⇒ Korean,
+    # else Han ⇒ zh (kana is the discriminating script — Japanese prose always
+    # carries it, Chinese never does)
+    kana = F.length(F.regexp_replace(text, _KANA_RANGE, "")) < n
+    hangul = F.length(F.regexp_replace(text, _HANGUL_RANGE, "")) < n * 0.7
     ar = F.length(F.regexp_replace(text, _ARABIC_RANGE, "")) < n * 0.7
     cy = F.length(F.regexp_replace(text, _CYRILLIC_RANGE, "")) < n * 0.7
     return (
         F.when(n.isNull() | (n == 0), F.lit("und"))
+        .when(cjk & kana, F.lit("ja"))
+        .when(cjk & hangul, F.lit("ko"))
         .when(cjk, F.lit("zh"))
         .when(ar, F.lit("ar"))
         .when(cy, _marker_vote(text, _CYRILLIC_MARKERS, "uk"))

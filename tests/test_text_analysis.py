@@ -18,6 +18,8 @@ def samples(spark):
          ("es", "El perro corre por la calle y los gatos que viven de la casa. " * 6),
          ("de", "Der Hund und die Katze sind das beste Team und das ist gut. " * 6),
          ("zh", "这是一个测试文档。它包含中文文本。我们用它来测试语言识别。" * 6),
+         ("ja", "これはテスト文書です。日本語のテキストが含まれています。" * 6),
+         ("ko", "이것은 테스트 문서입니다. 한국어 텍스트가 포함되어 있습니다. " * 6),
          ("ar", "هذا نص تجريبي باللغة العربية للاختبار والتقييم " * 6),
          ("uk", "Це тестовий документ і він містить текст що написаний українською. " * 6),
          ("ru", "Это тестовый документ и он содержит текст что написан на русском языке. " * 6),
@@ -34,6 +36,8 @@ def test_lang_id(spark, samples):
     assert got["es"] == "es"
     assert got["de"] == "de"
     assert got["zh"] == "zh"
+    assert got["ja"] == "ja"
+    assert got["ko"] == "ko"
     assert got["ar"] == "ar"
     assert got["uk"] == "uk"
     assert got["ru"] == "ru"
