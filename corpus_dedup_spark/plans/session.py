@@ -43,6 +43,13 @@ def build_session(
         # local mode runs every task thread in the driver JVM: size the heap for
         # 32 concurrent partial-agg hashmaps (8g thrashes GC at high core counts)
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        # shuffle scratch on the fastest local storage available: this host's
+        # /tmp is disk-backed ext4 while /dev/shm is tmpfs — the standard ops
+        # practice (NVMe/ramdisk scratch for spark.local.dir) applied locally.
+        # Cluster deployments override via SPARK_LOCAL_DIRS on the executors.
+        .config("spark.local.dir", os.environ.get(
+            "SPARK_GRAFT_LOCAL_DIR",
+            "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else "/tmp"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
