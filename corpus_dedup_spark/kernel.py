@@ -846,3 +846,145 @@ def extract_units_batch(
                 units.append(u)
         out[gi] = units
     return out  # type: ignore[return-value]
+
+
+def _flatten_unit_lists(
+    unit_lists: list[list[bytes]],
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Per-doc unit lists → flat (doc_idx, unit_idx, values, offsets) arrays."""
+    counts = np.fromiter((len(v) for v in unit_lists), dtype=np.int64,
+                         count=len(unit_lists))
+    n = int(counts.sum())
+    doc_idx = np.repeat(np.arange(len(unit_lists), dtype=np.int64), counts)
+    unit_idx = np.arange(n, dtype=np.int64) - np.repeat(
+        np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64), counts)
+    blob = b"".join(u for v in unit_lists for u in v)
+    lens = np.fromiter((len(u) for v in unit_lists for u in v), dtype=np.int64,
+                       count=n)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    return doc_idx, unit_idx, np.frombuffer(blob, dtype=np.uint8), offsets
+
+
+def extract_units_batch_flat(
+    texts: list[bytes], mode: str = "sentence", max_length: int = 0
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Flat, zero-boxing variant of :func:`extract_units_batch`.
+
+    Returns ``(doc_idx, unit_idx, values, offsets)``: unit k's bytes are
+    ``values[offsets[k]:offsets[k+1]]``, belonging to document ``doc_idx[k]`` at
+    in-document position ``unit_idx[k]``. Row content is bit-identical to
+    ``extract_units_batch`` (same kernels); ROW ORDER groups the pure-ASCII
+    documents first, then the scalar-path (non-ASCII) documents — downstream
+    consumers are order-free relational operators, and the per-doc
+    (doc_idx, unit_idx) pairs are identical.
+
+    The point: the list-of-lists API materializes one Python bytes object per
+    unit (~14M objects for 500k web docs) just so Arrow can re-serialize them;
+    this variant assembles the Arrow-ready value/offset buffers directly with
+    one vectorized ragged gather for the clean spans (dirty spans — interior
+    double spaces or a trailing space — are normalized individually, typically
+    a small minority)."""
+    if mode != "sentence":
+        return _flatten_unit_lists(
+            [extract_units(t, mode, max_length) for t in texts])
+    out_scalar: list[tuple[int, list[bytes]]] = []
+    ascii_ids: list[int] = []
+    ascii_texts: list[bytes] = []
+    for i, t in enumerate(texts):
+        tt = t.translate(_WS_TO_SPACE)
+        if not tt:
+            continue
+        if (np.frombuffer(tt, dtype=np.uint8) & 0x80).any():
+            units = extract_units(t, mode, max_length)
+            if units:
+                out_scalar.append((i, units))
+        else:
+            ascii_ids.append(i)
+            ascii_texts.append(tt)
+
+    parts: list[tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]] = []
+    if ascii_texts:
+        blob = b"".join(ascii_texts)
+        arr = np.frombuffer(blob, dtype=np.uint8)
+        lens = np.fromiter((len(t) for t in ascii_texts), dtype=np.int64,
+                           count=len(ascii_texts))
+        doc_off = np.zeros(len(lens), dtype=np.int64)
+        np.cumsum(lens[:-1], out=doc_off[1:])
+        doc_all, st_loc, ln_all = _split_ascii_batch(arr, doc_off, doc_off + lens)
+        gs = st_loc + doc_off[doc_all]
+        ge = gs + ln_all
+        sp = arr == 0x20
+        dbl = np.flatnonzero(sp[:-1] & sp[1:])
+        dirty = (np.searchsorted(dbl, gs) != np.searchsorted(dbl, ge - 1)) \
+            | sp[np.maximum(ge - 1, 0)]
+        # normalize dirty spans individually (minority); clean spans keep length
+        out_lens = (ge - gs).copy()
+        dirty_ids = np.flatnonzero(dirty)
+        dirty_bytes: list[bytes] = []
+        gs_l = gs[dirty_ids].tolist()
+        ge_l = ge[dirty_ids].tolist()
+        for a, b in zip(gs_l, ge_l):
+            u = b" ".join(blob[a:b].split())
+            dirty_bytes.append(u)
+        if dirty_ids.size:
+            out_lens[dirty_ids] = np.fromiter(
+                (len(u) for u in dirty_bytes), dtype=np.int64,
+                count=len(dirty_bytes))
+        if max_length:
+            np.minimum(out_lens, max_length, out=out_lens)
+        keep = out_lens > 0  # defensive: spans are non-empty by construction
+        if not keep.all():
+            (doc_all, gs, ge, dirty, out_lens) = (
+                doc_all[keep], gs[keep], ge[keep], dirty[keep], out_lens[keep])
+            dirty_bytes = [u for j, u in zip(dirty_ids, dirty_bytes)
+                           if keep[j]]
+            dirty_ids = np.flatnonzero(dirty)
+        else:
+            dirty_ids = np.flatnonzero(dirty)
+        n_units = doc_all.shape[0]
+        offsets = np.zeros(n_units + 1, dtype=np.int64)
+        np.cumsum(out_lens, out=offsets[1:])
+        values = np.empty(int(offsets[-1]), dtype=np.uint8)
+        # vectorized ragged gather for the clean spans
+        clean = ~dirty
+        c_lens = out_lens[clean]
+        c_total = int(c_lens.sum())
+        if c_total:
+            c_dst0 = offsets[:-1][clean]
+            c_src0 = gs[clean]
+            pos = np.arange(c_total, dtype=np.int64)
+            cum = np.zeros(len(c_lens), dtype=np.int64)
+            np.cumsum(c_lens[:-1], out=cum[1:])
+            rel = pos - np.repeat(cum, c_lens)
+            values[np.repeat(c_dst0, c_lens) + rel] = \
+                arr[np.repeat(c_src0, c_lens) + rel]
+        for j, u in zip(dirty_ids.tolist(), dirty_bytes):
+            o = offsets[j]
+            values[o:o + out_lens[j]] = np.frombuffer(u[:out_lens[j]],
+                                                      dtype=np.uint8)
+        # per-doc unit positions
+        cuts = np.searchsorted(doc_all, np.arange(len(ascii_ids) + 1))
+        unit_idx = np.arange(n_units, dtype=np.int64) - np.repeat(
+            cuts[:-1], np.diff(cuts))
+        doc_idx = np.asarray(ascii_ids, dtype=np.int64)[doc_all]
+        parts.append((doc_idx, unit_idx, values, offsets))
+    if out_scalar:
+        d, u, v, o = _flatten_unit_lists([units for _, units in out_scalar])
+        ids = np.fromiter((i for i, _ in out_scalar), dtype=np.int64,
+                          count=len(out_scalar))
+        parts.append((ids[d], u, v, o))
+    if not parts:
+        z = np.empty(0, dtype=np.int64)
+        return z, z.copy(), np.empty(0, dtype=np.uint8), np.zeros(1, np.int64)
+    if len(parts) == 1:
+        return parts[0]
+    doc_idx = np.concatenate([p[0] for p in parts])
+    unit_idx = np.concatenate([p[1] for p in parts])
+    values = np.concatenate([p[2] for p in parts])
+    offsets = [parts[0][3]]
+    base = parts[0][3][-1]
+    for p in parts[1:]:
+        offsets.append(p[3][1:] + base)
+        base += p[3][-1]
+    return doc_idx, unit_idx, values, np.concatenate(offsets)

@@ -36,6 +36,49 @@ def explode_units(pages: DataFrame, mode: str = "sentence", max_length: int = 0,
     )
 
 
+def explode_units_arrow(pages: DataFrame, mode: str = "sentence",
+                        max_length: int = 0, text_col: str = "text",
+                        id_col: str = "url") -> DataFrame:
+    """Flat-Arrow variant of :func:`explode_units` — same rows, ~2x the extract
+    throughput at 8 cores.
+
+    ``mapInArrow`` hands the kernel a pyarrow RecordBatch and takes back value/
+    offset buffers built directly by :func:`kernel.extract_units_batch_flat`:
+    no per-unit Python bytes objects (the list-of-lists pandas UDF boxed ~14M of
+    them per 500k docs just for Arrow to re-serialize), no JVM-side explode
+    (rows leave the worker already flat), and the id column is carried by a C++
+    ``take`` gather. Bit-identical unit bytes and (id, unit_idx) pairs."""
+    import numpy as np
+    import pyarrow as pa
+
+    from corpus_dedup_spark import kernel
+
+    def fn(batches):
+        for rb in batches:
+            texts_col = rb.column(text_col)
+            if pa.types.is_string(texts_col.type) or pa.types.is_large_string(
+                    texts_col.type):
+                texts_col = texts_col.cast(pa.binary())
+            texts = [t if t is not None else b"" for t in texts_col.to_pylist()]
+            doc_idx, unit_idx, values, offsets = kernel.extract_units_batch_flat(
+                texts, mode, max_length)
+            n = len(doc_idx)
+            assert offsets[-1] < (1 << 31), "batch too large for int32 offsets"
+            ids = rb.column(id_col).take(pa.array(doc_idx, type=pa.int64()))
+            units = pa.Array.from_buffers(
+                pa.binary(), n,
+                [None, pa.py_buffer(offsets.astype(np.int32)),
+                 pa.py_buffer(values)])
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(unit_idx, type=pa.int64()), units],
+                names=[id_col, "unit_idx", "norm_unit"])
+
+    src = pages.select(id_col, text_col)
+    id_type = dict(src.dtypes)[id_col]
+    return src.mapInArrow(
+        fn, schema=f"{id_col} {id_type}, unit_idx long, norm_unit binary")
+
+
 def mark_duplicates(units: DataFrame, id_col: str = "url") -> DataFrame:
     """Add ``is_dup`` + ``keeper``: first occurrence by (id, unit_idx) wins globally.
 
@@ -224,7 +267,7 @@ def run_exact_dedup(pages: DataFrame, mode: str = "sentence", max_length: int = 
     cross-job reuse point is the Iceberg stage checkpoint (plans/pipeline.py), not
     the block manager.
     """
-    units = explode_units(pages, mode, max_length, id_col=id_col)
+    units = explode_units_arrow(pages, mode, max_length, id_col=id_col)
     keepers = dedup_keepers(units, id_col)
     if materialize:
         keepers = keepers.persist()
@@ -243,7 +286,7 @@ def run_exact_dedup_observed(pages: DataFrame, mode: str = "sentence",
     duplicate_units / bytes_processed) after the action completes."""
     from pyspark.sql import Observation
 
-    units = explode_units(pages, mode, max_length, id_col=id_col)
+    units = explode_units_arrow(pages, mode, max_length, id_col=id_col)
     keepers = dedup_keepers(units, id_col)
     obs = Observation()
     keepers_o = keepers.observe(

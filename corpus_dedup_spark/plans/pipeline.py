@@ -102,7 +102,7 @@ class DedupPipeline:
     # -- stages --
 
     def run(self, pages: DataFrame, id_col: str = "url") -> dict[str, DataFrame]:
-        from corpus_dedup_spark.operators.exact_dedup import (explode_units,
+        from corpus_dedup_spark.operators.exact_dedup import (explode_units_arrow,
                                                               mark_duplicates,
                                                               reassemble)
         from corpus_dedup_spark.operators.connected_components import (
@@ -118,7 +118,7 @@ class DedupPipeline:
             out["units"] = self._read("units")
         else:
             marked = mark_duplicates(
-                explode_units(pages, self.cfg.mode, self.cfg.max_length,
+                explode_units_arrow(pages, self.cfg.mode, self.cfg.max_length,
                               id_col=id_col), id_col)
             out["units"] = self._write(marked, "units")
 

@@ -90,3 +90,20 @@ def test_reassemble_round_trip(spark):
     out = reassemble(explode_units(df)).collect()[0]
     assert out["dedup_text"] == "One.\nTwo.\nThree."
     assert out["n_units"] == 3
+
+
+def test_explode_units_arrow_equivalence(spark):
+    """Flat-Arrow extraction ≡ pandas+posexplode on mixed ascii/unicode docs."""
+    from corpus_dedup_spark.operators.exact_dedup import explode_units_arrow
+
+    df = spark.createDataFrame(
+        [("a", "One sentence. Two  spaced!   Third?"),
+         ("b", ""),
+         ("c", None),
+         ("d", "ünïcode first. ascii second."),
+         ("e", "no terminator at all"),
+         ("f", "One sentence. Two  spaced!   Third?")],
+        ["url", "text"])
+    a = explode_units(df).collect()
+    b = explode_units_arrow(df).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

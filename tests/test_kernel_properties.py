@@ -154,3 +154,20 @@ def test_utf8_decode_vec_matches_scalar_advance(data):
         out.append(cp)
         i += adv
     assert got.tolist() == out
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.text(min_size=0, max_size=120), min_size=0, max_size=12),
+       st.sampled_from([0, 5, 40]))
+def test_extract_units_batch_flat_matches_lists(texts, max_length):
+    """Flat (Arrow-buffer) extraction ≡ list-of-lists extraction, any input."""
+    raw = [t.encode("utf-8") for t in texts]
+    ref = kernel.extract_units_batch(raw, "sentence", max_length)
+    d, u, v, o = kernel.extract_units_batch_flat(raw, "sentence", max_length)
+    got = {}
+    for k in range(len(d)):
+        got.setdefault(int(d[k]), []).append((int(u[k]), bytes(v[o[k]:o[k + 1]])))
+    for i, units in enumerate(ref):
+        mine = [b for _, b in sorted(got.get(i, []))]
+        assert mine == units
+    assert sum(len(x) for x in ref) == len(d)
