@@ -254,6 +254,39 @@ def _signatures(shingle_sets: list[np.ndarray], a_params: np.ndarray,
         shingle_sets, a_params, b_params, cfg.num_perm)
 
 
+
+def _shingle_sets_from_texts(raw: list[bytes], cfg: DedupConfig) -> list[np.ndarray]:
+    """texts → per-doc sorted-unique shingle hash sets.
+
+    Unit-level shingles need only the per-unit FNV hashes, so the flat kernel
+    path (extract_units_batch_flat + fnv1a_flat) runs with ZERO per-unit Python
+    objects; char-level shingles need the unit bytes and use the list path."""
+    n = len(raw)
+    if cfg.shingle_level == "unit":
+        d, _u, v, o = kernel.extract_units_batch_flat(raw, cfg.mode, cfg.max_length)
+        uh = kernel.fnv1a_flat(v, o)
+        out = [np.empty(0, dtype=_U64)] * n
+        if len(d):
+            bounds = np.flatnonzero(np.diff(d) != 0) + 1
+            starts = np.concatenate([[0], bounds]).astype(np.int64)
+            ends = np.concatenate([bounds, [len(d)]]).astype(np.int64)
+            k = cfg.shingle_k
+            for s0, s1, di in zip(starts.tolist(), ends.tolist(),
+                                  d[starts].tolist()):
+                out[di] = _shingle_hashes(uh[s0:s1], k)
+        return out
+    unit_lists = kernel.extract_units_batch(raw, cfg.mode, cfg.max_length)
+    counts = [len(vv) for vv in unit_lists]
+    flat = [u for vv in unit_lists for u in vv]
+    uh_all = kernel.fnv1a_many(flat)
+    out = []
+    pos = 0
+    for units, c in zip(unit_lists, counts):
+        out.append(_doc_shingles(units, uh_all[pos:pos + c], cfg))
+        pos += c
+    return out
+
+
 def make_minhash_udf(cfg: DedupConfig):
     """array<binary> units → array<int64> MinHash signature (num_perm values).
 
@@ -307,16 +340,8 @@ def make_features_udf(cfg: DedupConfig):
 
     @pandas_udf(schema)
     def features(texts: pd.Series) -> pd.DataFrame:
-        unit_lists = kernel.extract_units_batch(
-            [_as_bytes(t) for t in texts], mode, max_length)
-        counts = [len(v) for v in unit_lists]
-        flat = [u for v in unit_lists for u in v]
-        uh = kernel.fnv1a_many(flat)
-        shingle_sets: list[np.ndarray] = []
-        pos = 0
-        for units, c in zip(unit_lists, counts):
-            shingle_sets.append(_doc_shingles(units, uh[pos:pos + c], cfg))
-            pos += c
+        shingle_sets = _shingle_sets_from_texts(
+            [_as_bytes(t) for t in texts], cfg)
         sig = _signatures(shingle_sets, a_params, b_params, cfg)
         return pd.DataFrame({
             "shingles": [s.tobytes() for s in shingle_sets],
@@ -362,16 +387,8 @@ def make_band_features_udf(cfg: DedupConfig):
 
     @pandas_udf(schema)
     def band_features(texts: pd.Series) -> pd.DataFrame:
-        unit_lists = kernel.extract_units_batch(
-            [_as_bytes(t) for t in texts], mode, max_length)
-        counts = [len(v) for v in unit_lists]
-        flat = [u for v in unit_lists for u in v]
-        uh = kernel.fnv1a_many(flat)
-        shingle_sets: list[np.ndarray] = []
-        pos = 0
-        for units, c in zip(unit_lists, counts):
-            shingle_sets.append(_doc_shingles(units, uh[pos:pos + c], cfg))
-            pos += c
+        shingle_sets = _shingle_sets_from_texts(
+            [_as_bytes(t) for t in texts], cfg)
         sig = _signatures(shingle_sets, a_params, b_params, cfg).view(_U64)
         bh = _band_hashes_from_sig_matrix(sig, bands, rows)
         return pd.DataFrame({

@@ -666,6 +666,26 @@ def fnv1a_many(units: list[bytes]) -> np.ndarray:
     blob = np.frombuffer(b"".join(units), dtype=np.uint8)
     offsets = np.zeros(m, dtype=np.int64)
     np.cumsum(lengths[:-1], out=offsets[1:])
+    return _fnv1a_core(blob, offsets, lengths)
+
+
+def fnv1a_flat(values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """FNV-1a over flat (values, offsets) buffers — the zero-boxing companion of
+    :func:`extract_units_batch_flat` (no per-unit bytes objects). Bit-identical
+    to :func:`fnv1a` per unit."""
+    m = len(offsets) - 1
+    if m == 0:
+        return np.empty(0, dtype=np.uint64)
+    starts = np.asarray(offsets[:-1], dtype=np.int64)
+    lengths = np.asarray(offsets[1:], dtype=np.int64) - starts
+    if lengths.max(initial=0) == 0:
+        return np.full(m, np.uint64(FNV_OFFSET), dtype=np.uint64)
+    return _fnv1a_core(np.asarray(values, dtype=np.uint8), starts, lengths)
+
+
+def _fnv1a_core(blob: np.ndarray, offsets: np.ndarray,
+                lengths: np.ndarray) -> np.ndarray:
+    m = len(lengths)
     h = np.full(m, FNV_OFFSET, dtype=np.uint64)
     prime = np.uint64(FNV_PRIME)
     max_len = int(lengths.max())
