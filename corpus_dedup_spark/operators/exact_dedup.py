@@ -39,8 +39,9 @@ def explode_units(pages: DataFrame, mode: str = "sentence", max_length: int = 0,
 def explode_units_arrow(pages: DataFrame, mode: str = "sentence",
                         max_length: int = 0, text_col: str = "text",
                         id_col: str = "url") -> DataFrame:
-    """Flat-Arrow variant of :func:`explode_units` — same rows, ~2x the extract
-    throughput at 8 cores.
+    """Flat-Arrow variant of :func:`explode_units` — same rows, same clean-window
+    wall clock (see SCALE.md), but ~14M fewer Python heap objects per 500k docs
+    and one fewer JVM stage.
 
     ``mapInArrow`` hands the kernel a pyarrow RecordBatch and takes back value/
     offset buffers built directly by :func:`kernel.extract_units_batch_flat`:
