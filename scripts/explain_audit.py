@@ -71,6 +71,18 @@ def main() -> None:
         ["partial_min", "partial_count", "hashpartitioning(norm_unit"],
     ))
 
+    # 2b. flat-Arrow extraction pipeline: scan → MapInArrow (flat units, no
+    # explode stage) → partial-combined keeper aggregation
+    from corpus_dedup_spark.operators.exact_dedup import explode_units_arrow
+
+    keepers_arrow = dedup_keepers(explode_units_arrow(pages))
+    sections.append((
+        "Flat-Arrow extraction feeding the keeper aggregation (MapInArrow, "
+        "no explode stage, partial agg before the exchange)",
+        plan_of(keepers_arrow),
+        ["MapInArrow", "partial_min", "hashpartitioning(norm_unit", "!Generate"],
+    ))
+
     # 3. LSH candidate generation: ONE groupBy into capped buckets + streamed
     # explodes; hot buckets removed by a broadcast ANTI-join before any collect
     from corpus_dedup_spark.operators.minhash_lsh import candidate_pairs
