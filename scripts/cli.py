@@ -31,6 +31,19 @@ def _session(cores=None):
     return s
 
 
+def _as_pages(df):
+    """Accept either the pages schema (url, text, ...) or a documents-shaped
+    table (doc_id, text, ...): any non-url id column is cast to a url string."""
+    if "url" in df.columns:
+        return df
+    for cand in ("doc_id", "id"):
+        if cand in df.columns:
+            from pyspark.sql import functions as F
+
+            return df.withColumn("url", F.col(cand).cast("string"))
+    raise SystemExit("input needs a url, doc_id or id column")
+
+
 def _apply_mask(pages, mask: str):
     """The reference filters input files by an fnmatch mask (default '*.txt',
     src/config.c:4; matcher src/dedup.c:899-1014). The engine's unit of input is a
@@ -48,7 +61,7 @@ def cmd_dedup(args) -> int:
     from corpus_dedup_spark.operators.exact_dedup import run_exact_dedup_observed
 
     spark = _session(args.cores)
-    pages = _apply_mask(spark.read.parquet(args.input), args.mask)
+    pages = _apply_mask(_as_pages(spark.read.parquet(args.input)), args.mask)
     t0 = time.time()
     # single job: the write computes the output AND the summary counters
     deduped, obs = run_exact_dedup_observed(pages, args.mode, args.max_length)
@@ -88,7 +101,7 @@ def cmd_search(args) -> int:
                                                      with_line_col)
 
     spark = _session(args.cores)
-    pages = _apply_mask(spark.read.parquet(args.input), args.mask)
+    pages = _apply_mask(_as_pages(spark.read.parquet(args.input)), args.mask)
     qlen = len(kernel.utf8_decode_buffer(args.query.encode()))
     t0 = time.time()
     # squash=False: the reference's search mode indexes the RAW decoded text
