@@ -228,19 +228,27 @@ def _optimal_densify(mat: np.ndarray, mask: np.ndarray, C: np.uint64) -> np.ndar
                 mat[rows[hit], probes[k][cols[hit]]] + _U64(k + 1) * C)
             remaining = remaining[~ok]
         if remaining.size:
-            # rotation fallback for the (rare) unfilled tail: next non-empty bin
-            # to the circular right of the probe end, offset far past attempts
+            # rotation fallback for the unfilled tail (common for VERY sparse
+            # sets: with 1 occupied bin of 128, each probe hits it w.p. 1/128,
+            # so most entries exhaust the attempts): ONE vectorized pass — for
+            # every remaining entry, index of the next non-empty bin to the
+            # circular right via a reversed running-min over occupied-bin
+            # indices, offset by attempts+distance so a fallback bin matches
+            # iff both sets borrowed the same bin at the same distance.
             r, c = rows[remaining], cols[remaining]
-            for d in range(1, P):
-                if remaining.size == 0:
-                    break
-                src = (c + d) % P
-                ok = mask[r, src]
-                dens[r[ok] * P + c[ok]] = (
-                    mat[r[ok], src[ok]]
-                    + (_U64(_PROBE_ATTEMPTS + d) * C))
-                r, c = r[~ok], c[~ok]
-                remaining = remaining[~ok]
+            need_rows = np.unique(r)
+            sub = np.searchsorted(need_rows, r)
+            m2 = mask[need_rows]  # (k × P) occupancy of only the affected docs
+            big = 2 * P
+            ext_idx = np.where(np.concatenate([m2, m2], axis=1),
+                               np.arange(big, dtype=np.int64)[None, :], big)
+            nxt = np.minimum.accumulate(
+                ext_idx[:, ::-1], axis=1)[:, ::-1]  # (k × 2P)
+            take = np.minimum(nxt[sub, c + 1], big - 1)
+            src_val = mat[need_rows[sub], take % P]
+            dist = (take - c).astype(_U64)
+            with np.errstate(over="ignore"):
+                dens[r * P + c] = src_val + (_U64(_PROBE_ATTEMPTS) + dist) * C
     return dens.reshape(n, P)
 
 
