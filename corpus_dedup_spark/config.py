@@ -35,10 +35,14 @@ class DedupConfig:
     lsh_bands: int = 32             # 32 bands x 4 rows: s-curve threshold ~0.42
     lsh_rows: int = 4
     minhash_seed: int = 1215752193  # any fixed odd-ish seed; drives (a, b) draws
-    # "oph": one-permutation hashing + rotation densification (Li et al. 2012,
-    # Shrivastava & Li 2014) — one pass over the shingles instead of num_perm
-    # passes; ~10x less memory traffic (the classic scheme saturates the memory
-    # bus at high core counts). "classic": per-permutation multiply-shift minhash.
+    # "oph": one-permutation hashing (Li et al. 2012) + hashed-permutation
+    # OPTIMAL densification (Shrivastava, ICML 2017) — one pass over the shingles
+    # instead of num_perm passes; ~10x less memory traffic (the classic scheme
+    # saturates the memory bus at high core counts). Rotation densification
+    # (Shrivastava & Li 2014) was measured here to correlate adjacent bins on
+    # sparse sets and inflate candidates 31x — see udfs._optimal_densify; it is
+    # used only as the probe-exhausted tail fallback. "classic":
+    # per-permutation multiply-shift minhash.
     # Both are pure functions of the shingle set: identical sets ⇒ identical
     # signatures, so the exact-duplicate floor holds under either scheme.
     minhash_scheme: str = "oph"

@@ -52,8 +52,13 @@ def glob_to_rlike(mask: str) -> str:
                 inner = mask[i + 1:j]
                 if inner.startswith("!"):
                     inner = "^" + inner[1:]
-                # escape regex-special chars inside the class except ^ - ]
-                inner = inner.replace("\\", "\\\\")
+                # escape regex-special chars inside the class except ^ - ]:
+                # backslash, plus Java-regex class metasyntax fnmatch lacks —
+                # '&&' (intersection) and nested '[' (union) would otherwise
+                # change the match set silently
+                inner = (inner.replace("\\", "\\\\")
+                              .replace("&", "\\&")
+                              .replace("[", "\\["))
                 out.append("[" + inner + "]")
                 i = j
         else:

@@ -198,20 +198,30 @@ def verify_jaccard(pairs: DataFrame, features: DataFrame, cfg: DedupConfig,
     return out
 
 
-def near_dup_edges(pages: DataFrame, cfg: DedupConfig,
-                   id_col: str = "url") -> tuple[DataFrame, DataFrame, DataFrame]:
+def near_dup_edges(pages: DataFrame, cfg: DedupConfig, id_col: str = "url",
+                   prepartition_features: bool | None = None,
+                   ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Full LSH leg: returns (verified_pairs, features, dropped_buckets).
 
     verified_pairs = candidates with exact Jaccard ≥ cfg.jaccard_threshold.
+
+    ``prepartition_features``: hash-partition the persisted feature table on the id
+    so BOTH verify joins reuse the cached partitioning (alias-aware output
+    partitioning) instead of re-shuffling the shingle-blob table twice. Worth it
+    only when the verified-pair table is too big to broadcast (cluster scale);
+    when pairs broadcast — every local/bench shape — the extra full shuffle is
+    pure cost (measured +~2 s on 50k docs/32 cores, the r2 bench regression).
+    Default: cfg.extra["prepartition_features"], else False.
     """
     # ONE fused UDF pass; features feed both the band explode and the verify
     # join — materialize once (the persisted row is just a shingle blob + 32
-    # band hashes, the cheap-to-cache representation). Persist PARTITIONED ON THE
-    # ID: the cached partitioning satisfies both verify joins (id_a, then id_b via
-    # alias-aware output partitioning), so the shingle-blob table crosses the wire
-    # once at persist time instead of once per join — at 100 TB the blob table is
-    # the second-largest shuffle after the band rows.
-    features = doc_band_features(pages, cfg, id_col).repartition(id_col).persist()
+    # band hashes, the cheap-to-cache representation).
+    if prepartition_features is None:
+        prepartition_features = bool(cfg.extra.get("prepartition_features", False))
+    features = doc_band_features(pages, cfg, id_col)
+    if prepartition_features:
+        features = features.repartition(id_col)
+    features = features.persist()
     bands_df = features.select(
         id_col, F.posexplode("bands").alias("band_id", "band_hash")
     )

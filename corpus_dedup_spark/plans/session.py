@@ -10,6 +10,19 @@ import os
 
 from pyspark.sql import SparkSession
 
+_SHM_MIN_FREE_BYTES = 8 << 30
+
+
+def _default_local_dir() -> str:
+    """tmpfs scratch when it has headroom, disk otherwise (see builder comment)."""
+    try:
+        st = os.statvfs("/dev/shm")
+        if st.f_bavail * st.f_frsize >= _SHM_MIN_FREE_BYTES:
+            return "/dev/shm/spark-local"
+    except OSError:
+        pass
+    return "/tmp"
+
 
 def build_session(
     app_name: str = "corpus_dedup_spark",
@@ -46,10 +59,12 @@ def build_session(
         # shuffle scratch on the fastest local storage available: this host's
         # /tmp is disk-backed ext4 while /dev/shm is tmpfs — the standard ops
         # practice (NVMe/ramdisk scratch for spark.local.dir) applied locally.
+        # tmpfs spill consumes RAM and cannot exceed the mount size, so it is
+        # only selected when the mount has comfortable headroom (>=8 GiB free);
+        # larger-than-memory local jobs fall back to disk and spill normally.
         # Cluster deployments override via SPARK_LOCAL_DIRS on the executors.
-        .config("spark.local.dir", os.environ.get(
-            "SPARK_GRAFT_LOCAL_DIR",
-            "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else "/tmp"))
+        .config("spark.local.dir",
+                os.environ.get("SPARK_GRAFT_LOCAL_DIR") or _default_local_dir())
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )

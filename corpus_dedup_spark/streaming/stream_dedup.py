@@ -6,14 +6,16 @@ state-store-backed dedup on the normalized unit (the streaming analog of the glo
 sentence set).
 
 State-lifetime contract (two modes):
-- ``bounded_state=True`` (default): ``dropDuplicatesWithinWatermark`` — Spark evicts a
-  unit's state once the watermark passes its event time, so memory is bounded; a
-  duplicate arriving later than the watermark delay is re-emitted. This is the
-  scale-safe mode for an unbounded stream.
-- ``bounded_state=False``: plain ``dropDuplicates`` on norm_unit — exact global
-  first-wins like the batch engine, but state grows with the distinct-unit count
-  forever (Spark only evicts dedup state when the event-time column is part of the
-  key). Use only for bounded replays.
+- ``bounded_state=False`` (default): plain ``dropDuplicates`` on norm_unit — exact
+  global first-wins, the SAME guarantee as the batch engine (existing callers keep
+  the semantics they signed up for). State grows with the distinct-unit count
+  (Spark only evicts dedup state when the event-time column is part of the key);
+  fine for bounded replays and finite backfills.
+- ``bounded_state=True`` (explicit opt-in): ``dropDuplicatesWithinWatermark`` —
+  Spark evicts a unit's state once the watermark passes its event time, so memory
+  is bounded; the trade is that a duplicate arriving later than the watermark
+  delay is RE-EMITTED. This is the scale-safe mode for a truly unbounded stream —
+  opt in deliberately, because it weakens the dedup guarantee.
 
 At scale: state is hash-partitioned on norm_unit (same key as the batch shuffle);
 RocksDB state store keeps it off-heap.
@@ -30,7 +32,7 @@ from corpus_dedup_spark.functions.udfs import make_extract_units_udf
 def stream_unit_dedup(spark: SparkSession, input_dir: str, schema,
                       mode: str = "sentence", max_length: int = 0,
                       watermark: str = "1 hour",
-                      bounded_state: bool = True) -> DataFrame:
+                      bounded_state: bool = False) -> DataFrame:
     """Streaming keep-side units: (url, unit_idx, norm_unit, warc_ts), first-wins
     across micro-batches (see module docstring for the state-lifetime contract)."""
     extract = make_extract_units_udf(mode, max_length)
