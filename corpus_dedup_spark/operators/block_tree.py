@@ -1,35 +1,45 @@
-"""Block-tree construction + rolling-hash substring machinery, as DataFrames.
+"""Block-tree construction + rolling-hash substring machinery, Spark-first.
 
-Spark-first reformulation of the reference's Block Tree (ref: src/block_tree_core.c:
-443-561; README.md:17-29): a per-level driver loop where each level is one DataFrame —
-(url, level, start_pos, length, block_id, is_marked, target_pos) — built by
+Reformulation of the reference's Block Tree (ref: src/block_tree_core.c:443-561;
+README.md:17-29). Per-document trees are INDEPENDENT, so the whole level recursion
+runs worker-side in ONE ``mapInPandas`` pass over (url, text): each document is
+decoded once, its rolling-hash prefix table is built once (H2,
+src/block_tree_core.c:162-201), and every level is emitted from the same in-memory
+arrays. No per-level text join, no per-level driver sync — the r2 design paid both,
+~log(n) times per tree.
 
-1. partitioning each marked node into s (level 1) / tau (deeper) children, last child
-   absorbing the remainder (src/block_tree_core.c:473-527);
-2. hashing all candidate blocks with the base-31 mod 2^64 polynomial rolling hash over
-   UTF-32 codepoints via per-doc prefix tables (H2/H3, src/block_tree_core.c:90-201),
-   vectorized in one pandas UDF per document;
-3. leader election per (url, block_id, block_id2, length): min(start_pos) wins; later
-   nodes become pointer nodes (is_marked=false, target_pos=leader.start_pos). Equality
-   is verified under TWO independent 64-bit rolling hashes (~2^-128 collision odds)
-   instead of the reference's content compare (quirk Q6, src/block_tree_core.c:
-   320-349,411) — a per-level join against the text column would shuffle the whole
-   corpus text once per level, which cannot scale; documented deviation;
-4. recurse on marked nodes until every node has length <= 1 or no candidates remain
-   (src/block_tree_core.c:530-554). Each level is persisted.
+Per-document recursion (build_doc_tree, mirrors src/block_tree_core.c:443-561):
 
-Positions are per-document codepoint offsets (the reference's search mode concatenates
-files into one global array — src/search_mode.c:98-112 — which cannot scale; per-doc
-offsets shard naturally).
+1. partition each marked node into s (level 1) / tau (deeper) children, the last
+   child absorbing the remainder (src/block_tree_core.c:473-527);
+2. hash all candidate blocks with the base-31 mod 2^64 polynomial rolling hash over
+   UTF-32 codepoints via the per-doc prefix table — O(1) per block (H2/H3,
+   src/block_tree_core.c:90-201);
+3. leader election per equal-content group: candidates are grouped by
+   (block_id, length) and verified by CONTENT COMPARE against the group's earlier
+   occurrences (exactly the reference's verify, src/block_tree_core.c:320-349,411 —
+   never trust a hash alone, quirk Q6; the doc is in memory worker-side, so the
+   compare is a memcmp, not a join). Earliest occurrence of the content wins; later
+   nodes become pointer nodes (is_marked=false, target_pos=leader.start_pos);
+4. recurse on marked nodes until every node has length <= 1
+   (src/block_tree_core.c:530-554).
+
+Positions are per-document codepoint offsets (the reference's search mode
+concatenates files into one global array — src/search_mode.c:98-112 — which cannot
+scale; per-doc offsets shard naturally).
+
+Scale: one narrow shuffle-free map pass; output rows are (url, level, start_pos,
+length, block_id, is_marked, target_pos) and only corpus-level stats aggregate.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StringType, StructField, StructType
+from pyspark.sql.types import (BooleanType, LongType, StringType, StructField,
+                               StructType)
 
 from corpus_dedup_spark import kernel
 
@@ -37,156 +47,232 @@ DEFAULT_S = 2    # level-1 divisor (both reference call sites: src/dedup.c:526)
 DEFAULT_TAU = 2  # deeper-level divisor
 
 
-def _doc_lengths(pages: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, n_cps): codepoint count per squashed document."""
-    from pyspark.sql.functions import pandas_udf
+def build_doc_tree(cps: np.ndarray, s: int = DEFAULT_S, tau: int = DEFAULT_TAU,
+                   max_levels: int = 40) -> list[tuple]:
+    """One document's tree as a list of per-level numpy tuples:
+    ``(level, starts, lengths, block_ids_or_None, is_marked, target_pos)``.
 
-    @pandas_udf(LongType())
-    def n_codepoints(texts: pd.Series) -> pd.Series:
-        return texts.map(
-            lambda t: len(kernel.utf8_decode_buffer(
-                kernel.squash_newlines((t or "").encode("utf-8"))))
-        )
+    ``block_ids_or_None`` is None for the level-0 root (no hash computed, as in
+    the r1/r2 schema); ``target_pos`` is -1 for marked nodes.
+    """
+    n = len(cps)
+    out: list[tuple] = [(0, np.zeros(1, np.int64), np.array([n], np.int64),
+                         None, np.ones(1, bool), np.full(1, -1, np.int64))]
+    if n <= 1:
+        return out
+    prefix, pow_ = kernel.rolling_prefix(cps, kernel.BLOCK_HASH_BASE)
+    f_starts, f_lens = out[0][1], out[0][2]
+    level = 0
+    while level < max_levels:
+        level += 1
+        divisor = s if level == 1 else tau
+        sel = f_lens > 1
+        ps, pl = f_starts[sel], f_lens[sel]
+        if ps.size == 0:
+            break
+        base = pl // divisor
+        ci = np.arange(divisor, dtype=np.int64)
+        cs = ps[:, None] + ci[None, :] * base[:, None]
+        cl = np.repeat(base[:, None], divisor, axis=1)
+        cl[:, -1] = pl - (divisor - 1) * base
+        cs, cl = cs.ravel(), cl.ravel()
+        keep = cl > 0
+        cs, cl = cs[keep], cl[keep]
+        h = kernel.window_hashes(prefix, pow_, cs, cl)
 
-    return pages.select(id_col, text_col).withColumn(
-        "n_cps", n_codepoints(F.col(text_col))
-    )
+        # leader election: sort by (hash, length, start); within a (hash, length)
+        # group verify CONTENT equality against each earlier distinct leader —
+        # the reference's compare (src/block_tree_core.c:320-349), a worker-side
+        # memcmp here. A hash collision between different contents simply yields
+        # two leaders; reconstruction stays sound under adversarial text.
+        order = np.lexsort((cs, cl, h))
+        oh, ol = h[order], cl[order]
+        change = np.flatnonzero((oh[1:] != oh[:-1]) | (ol[1:] != ol[:-1])) + 1
+        g_starts = np.concatenate([[0], change])
+        g_ends = np.concatenate([change, [order.size]])
+        marked = np.ones(cs.size, bool)
+        target = np.full(cs.size, -1, np.int64)
+        for g0, g1 in zip(g_starts.tolist(), g_ends.tolist()):
+            if g1 - g0 < 2:
+                continue
+            idxs = order[g0:g1]  # ascending start within the group (lexsort)
+            L = int(cl[idxs[0]])
+            leaders = [int(idxs[0])]
+            for t in idxs[1:].tolist():
+                st = int(cs[t])
+                for ld in leaders:
+                    ls = int(cs[ld])
+                    if np.array_equal(cps[st:st + L], cps[ls:ls + L]):
+                        marked[t] = False
+                        target[t] = ls
+                        break
+                else:
+                    leaders.append(t)
+        out.append((level, cs, cl, h.view(np.int64), marked, target))
+        f_starts, f_lens = cs[marked], cl[marked]
+
+    return out
 
 
-_HASH_SCHEMA = StructType([
+_TREE_SCHEMA = StructType([
     StructField("url", StringType()),
+    StructField("level", LongType()),
     StructField("start_pos", LongType()),
     StructField("length", LongType()),
     StructField("block_id", LongType()),
-    StructField("block_id2", LongType()),
+    StructField("is_marked", BooleanType()),
+    StructField("target_pos", LongType()),
 ])
 
-# second, independent rolling-hash base for the double-hash verify (odd ⇒ valid
-# polynomial base mod 2^64; golden-ratio constant, unrelated to base 31)
-VERIFY_HASH_BASE = 0x9E3779B97F4A7C15
 
-
-def _hash_blocks(nodes: DataFrame, texts: DataFrame, id_col: str,
-                 text_col: str) -> DataFrame:
-    """Compute (block_id, block_id2) for (url, start_pos, length) nodes: group nodes
-    per doc, build BOTH prefix tables once per doc, hash every node O(1) (H2).
-
-    The second hash replaces the reference's content-compare verify (quirk Q6,
-    src/block_tree_core.c:320-349): comparing under two independent 64-bit
-    polynomial hashes (combined collision odds ~2^-128 per pair) instead of joining
-    every level back to the full text column — which would shuffle the whole corpus
-    text once per tree level. Documented deviation; reconstruction correctness is
-    still asserted end-to-end by tests/test_blocktree.py::query_access."""
-    grouped = (
-        nodes.groupBy(id_col)
-        .agg(F.collect_list(F.struct("start_pos", "length")).alias("spans"))
-        .join(texts, id_col)
-    )
-
-    def hash_partition(batches):
-        for pdf in batches:
-            out_url: list = []
-            starts_l, lens_l, h1_l, h2_l = [], [], [], []
-            for url, spans, text in zip(pdf[id_col], pdf["spans"], pdf[text_col]):
-                cps = kernel.utf8_decode_buffer(
-                    kernel.squash_newlines((text or "").encode("utf-8")))
-                prefix, pow_ = kernel.rolling_prefix(cps, kernel.BLOCK_HASH_BASE)
-                prefix2, pow2 = kernel.rolling_prefix(cps, VERIFY_HASH_BASE)
-                starts = np.fromiter((s["start_pos"] for s in spans), dtype=np.int64)
-                lens = np.fromiter((s["length"] for s in spans), dtype=np.int64)
-                out_url.extend([url] * len(spans))
-                starts_l.append(starts)
-                lens_l.append(lens)
-                h1_l.append(kernel.window_hashes(prefix, pow_, starts, lens))
-                h2_l.append(kernel.window_hashes(prefix2, pow2, starts, lens))
-            if not out_url:
-                continue
-            yield pd.DataFrame({
-                "url": out_url,
-                "start_pos": np.concatenate(starts_l),
-                "length": np.concatenate(lens_l),
-                "block_id": np.concatenate(h1_l).view(np.int64),
-                "block_id2": np.concatenate(h2_l).view(np.int64),
-            })
-
-    return grouped.mapInPandas(hash_partition, schema=_HASH_SCHEMA).withColumnRenamed(
-        "url", id_col
-    )
+def _decode(text) -> np.ndarray:
+    return kernel.utf8_decode_buffer(
+        kernel.squash_newlines((text or "").encode("utf-8")))
 
 
 def build_block_tree(pages: DataFrame, s: int = DEFAULT_S, tau: int = DEFAULT_TAU,
                      id_col: str = "url", text_col: str = "text",
                      max_levels: int = 40) -> DataFrame:
     """Returns the full tree table:
-    (url, level, start_pos, length, block_id, is_marked, target_pos)."""
-    texts = pages.select(id_col, text_col).persist()
-    lengths = _doc_lengths(texts, id_col, text_col)
-    roots = lengths.filter(F.col("n_cps") > 0).select(
-        F.col(id_col),
-        F.lit(0).alias("level"),
-        F.lit(0).cast("long").alias("start_pos"),
-        F.col("n_cps").alias("length"),
-        F.lit(None).cast("long").alias("block_id"),
-        F.lit(True).alias("is_marked"),
-        F.lit(None).cast("long").alias("target_pos"),
-    ).persist()
+    (url, level, start_pos, length, block_id, is_marked, target_pos).
 
-    all_levels = [roots]
-    frontier = roots
-    level = 0
-    while level < max_levels:
+    One mapInPandas pass; see module docstring for the per-doc recursion."""
+
+    def gen(batches):
+        for pdf in batches:
+            urls: list = []
+            levels_l, starts_l, lens_l = [], [], []
+            hash_vals, hash_mask = [], []
+            marked_l, target_vals, target_mask = [], [], []
+            for url, text in zip(pdf["url"], pdf["text"]):
+                cps = _decode(text)
+                if len(cps) == 0:
+                    continue
+                for lv, cs, cl, h, m, tg in build_doc_tree(cps, s, tau, max_levels):
+                    k = cs.size
+                    urls.extend([url] * k)
+                    levels_l.append(np.full(k, lv, np.int64))
+                    starts_l.append(cs)
+                    lens_l.append(cl)
+                    if h is None:
+                        hash_vals.append(np.zeros(k, np.int64))
+                        hash_mask.append(np.ones(k, bool))
+                    else:
+                        hash_vals.append(h)
+                        hash_mask.append(np.zeros(k, bool))
+                    marked_l.append(m)
+                    target_vals.append(np.where(tg < 0, 0, tg))
+                    target_mask.append(tg < 0)
+            if not urls:
+                continue
+            yield pd.DataFrame({
+                "url": urls,
+                "level": np.concatenate(levels_l),
+                "start_pos": np.concatenate(starts_l),
+                "length": np.concatenate(lens_l),
+                "block_id": pd.arrays.IntegerArray(
+                    np.concatenate(hash_vals), np.concatenate(hash_mask)),
+                "is_marked": np.concatenate(marked_l),
+                "target_pos": pd.arrays.IntegerArray(
+                    np.concatenate(target_vals), np.concatenate(target_mask)),
+            })
+
+    return (
+        pages.select(F.col(id_col).alias("url"), F.col(text_col).alias("text"))
+        .mapInPandas(gen, schema=_TREE_SCHEMA)
+        .withColumnRenamed("url", id_col)
+    )
+
+
+def _level_index(tree_levels: list[tuple]) -> dict[int, tuple]:
+    """level → (starts_sorted, lengths, is_marked, target) for fast position
+    resolution (children of disjoint marked nodes are disjoint, so searchsorted
+    finds the covering node)."""
+    idx: dict[int, tuple] = {}
+    for lv, cs, cl, _h, m, tg in tree_levels[1:]:
+        order = np.argsort(cs, kind="stable")
+        idx[lv] = (cs[order], cl[order], m[order], tg[order])
+    return idx
+
+
+def _resolve_position(idx: dict[int, tuple], p: int, max_hops: int = 100000) -> int:
+    """Follow pointer nodes from the top until landing on marked/leaf coverage —
+    the reference's access resolution (src/block_tree_core.c:583-601)."""
+    if not idx:
+        return p
+    max_level = max(idx)
+    level, hops = 1, 0
+    while level <= max_level and hops < max_hops:
+        hops += 1
+        ent = idx.get(level)
+        if ent is None:
+            break
+        cs, cl, m, tg = ent
+        i = int(np.searchsorted(cs, p, side="right")) - 1
+        if i < 0 or p >= cs[i] + cl[i]:
+            break
+        if not m[i]:
+            p = int(tg[i]) + (p - int(cs[i]))
+            level = 1
+            continue
+        if cl[i] <= 1:
+            break
         level += 1
-        divisor = s if level == 1 else tau
-        # candidates: children of marked nodes with length > 1
-        parents = frontier.filter(F.col("is_marked") & (F.col("length") > 1))
-        if parents.isEmpty():
-            break
-        base = (F.col("length") / divisor).cast("long")  # floor for positive lengths
-        children = parents.select(
-            F.col(id_col),
-            F.explode(F.sequence(F.lit(0), F.lit(divisor - 1))).alias("ci"),
-            F.col("start_pos"), F.col("length"),
-        ).select(
-            F.col(id_col),
-            (F.col("start_pos") + F.col("ci") * base).alias("start_pos"),
-            F.when(F.col("ci") < divisor - 1, base)
-             .otherwise(F.col("length") - (divisor - 1) * base).alias("length"),
-        ).filter(F.col("length") > 0)
+    return p
 
-        hashed = _hash_blocks(children, texts, id_col, text_col)
 
-        # leader election per (url, block_id, block_id2, length): min(start_pos)
-        # wins; equality under BOTH independent 64-bit hashes replaces the content
-        # compare (no per-level join against the text column — see _hash_blocks)
-        win_min = F.min("start_pos").over(
-            Window.partitionBy(id_col, "block_id", "block_id2", "length")
-        )
-        resolved = hashed.withColumn("leader_pos", win_min).select(
-            F.col(id_col),
-            F.lit(level).alias("level"),
-            "start_pos", "length", "block_id",
-            (F.col("start_pos") == F.col("leader_pos")).alias("is_marked"),
-            F.when(F.col("start_pos") != F.col("leader_pos"), F.col("leader_pos"))
-             .otherwise(F.lit(None).cast("long")).alias("target_pos"),
-        ).persist()
+_ACCESS_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("pos", LongType()),
+    StructField("ch", StringType()),
+])
 
-        all_levels.append(resolved)
-        frontier = resolved
-        # stop when no marked node is divisible further
-        if resolved.filter(F.col("is_marked") & (F.col("length") > 1)).isEmpty():
-            break
 
-    out = all_levels[0]
-    for lv in all_levels[1:]:
-        out = out.unionByName(lv)
-    return out
+def sampled_access(pages: DataFrame, n_positions: int = 5,
+                   pos_stride: int = 37, s: int = DEFAULT_S,
+                   tau: int = DEFAULT_TAU, id_col: str = "url",
+                   text_col: str = "text", max_levels: int = 40) -> DataFrame:
+    """Reconstruction self-check as a value-checkable query: for deterministic
+    sampled positions ``pos_i = (i * pos_stride) % n_cps``, build the doc's tree,
+    resolve the position through pointer nodes, and emit the character found
+    there. A consistent tree returns exactly the original character, so the
+    DuckDB oracle is ``substr(text, pos+1, 1)`` — the reference's own (dead)
+    self-check made live (src/dedup.c:535-551, src/block_tree_core.c:583-601)."""
+
+    def gen(batches):
+        for pdf in batches:
+            urls, poss, chs = [], [], []
+            for url, text in zip(pdf["url"], pdf["text"]):
+                cps = _decode(text)
+                n = len(cps)
+                if n == 0:
+                    continue
+                idx = _level_index(build_doc_tree(cps, s, tau, max_levels))
+                seen = set()
+                for i in range(n_positions):
+                    p0 = (i * pos_stride) % n
+                    if p0 in seen:  # short docs: dedupe repeated sample positions
+                        continue
+                    seen.add(p0)
+                    urls.append(url)
+                    poss.append(p0)
+                    chs.append(chr(int(cps[_resolve_position(idx, p0)])))
+            if urls:
+                yield pd.DataFrame({"url": urls, "pos": np.asarray(poss, np.int64),
+                                    "ch": chs})
+
+    return (
+        pages.select(F.col(id_col).alias("url"), F.col(text_col).alias("text"))
+        .mapInPandas(gen, schema=_ACCESS_SCHEMA)
+        .withColumnRenamed("url", id_col)
+    )
 
 
 def query_access(tree_rows: list, text: str, pos: int) -> str:
-    """Driver-side reconstruction check (ref: src/block_tree_core.c:583-601): resolve
-    position through pointer nodes and read the original text. Used by tests to assert
-    the tree is a consistent index (the reference's dead verify path — quirk Q7 — made
-    live here)."""
+    """Driver-side reconstruction check over collected tree rows (ref:
+    src/block_tree_core.c:583-601): resolve position through pointer nodes and
+    read the original text. Used by tests to assert the tree is a consistent
+    index (the reference's dead verify path — quirk Q7 — made live here)."""
     by_level: dict[int, list] = {}
     for r in tree_rows:
         by_level.setdefault(r["level"], []).append(r)
@@ -195,7 +281,7 @@ def query_access(tree_rows: list, text: str, pos: int) -> str:
     level = 1
     while level <= max_level:
         node = next(
-            (n for n in by_level[level]
+            (n for n in by_level.get(level, [])
              if n["start_pos"] <= p < n["start_pos"] + n["length"]), None)
         if node is None:
             break

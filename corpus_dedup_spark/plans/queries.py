@@ -720,6 +720,56 @@ def q_block_tree_stats(spark, sf_dir):
     return tree_stats(build_block_tree(pages))
 
 
+def q_block_tree_access(spark, sf_dir):
+    """Value oracle for the block-tree leg (J2/§2.9): the tree's pointer-resolved
+    character at sampled positions must equal the original text's character —
+    the reference's own self-check (src/dedup.c:535-551) made live as a query."""
+    from corpus_dedup_spark.operators.block_tree import sampled_access
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text")
+    return sampled_access(docs, n_positions=5, pos_stride=37, id_col="doc_id")
+
+
+SQL_BLOCK_TREE_ACCESS = """
+SELECT DISTINCT CAST(doc_id AS VARCHAR) AS doc_id,
+       (g.i * 37) % length(text) AS pos,
+       substr(text, ((g.i * 37) % length(text)) + 1, 1) AS ch
+FROM documents, (SELECT unnest(generate_series(0, 4)) AS i) g
+WHERE length(text) > 0
+"""
+
+
+def q_text_profile_ints(spark, sf_dir):
+    """Value-checked integer slice of text_profile (token counts + marker score);
+    the float ratios and lang vote stay pytest-covered."""
+    from corpus_dedup_spark.functions.text import (_LANG_MARKERS, _marker_score,
+                                                   text_profile)
+
+    prof = text_profile(_docs(spark, sf_dir).select("doc_id", "text"))
+    return prof.select(
+        "doc_id", "n_words", "n_tokens_ws", "n_tokens_bpe",
+        _marker_score(F.col("text"), _LANG_MARKERS["en"]).alias("en_stop_hits"),
+    )
+
+
+_WS_TOKENS_SQL = "len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))"
+_EN_MARKER_SQL = " + ".join(
+    "(length(' ' || lower(text) || ' ') - "
+    f"length(replace(' ' || lower(text) || ' ', '{m}', ''))) / {len(m)}"
+    for m in (" the ", " and ", " of ", " to ", " is ")
+)
+SQL_TEXT_PROFILE_INTS = f"""
+SELECT doc_id,
+       {_WS_TOKENS_SQL} AS n_words,
+       {_WS_TOKENS_SQL} AS n_tokens_ws,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]{{1,3}}|[^A-Za-z0-9\\s]'))
+           AS n_tokens_bpe,
+       CAST({_EN_MARKER_SQL} AS BIGINT) AS en_stop_hits
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -747,6 +797,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "near_dup_clusters": q_near_dup_clusters,  # oracle-backed as of r2
     "sentence_dedup_docs": q_sentence_dedup_docs,
     "shared_blocks": q_shared_blocks,
+    "block_tree_access": q_block_tree_access,  # oracle-backed as of r3
+    "text_profile_ints": q_text_profile_ints,  # oracle-backed as of r3
     # rows-only (non-SQL-expressible stages)
     "minhash_signatures": q_minhash_signatures,
     "lsh_candidates": q_lsh_candidates,
@@ -781,4 +833,6 @@ ORACLES: dict[str, str] = {
     "near_dup_clusters": SQL_NEAR_DUP_CLUSTERS,
     "sentence_dedup_docs": SQL_SENTENCE_DEDUP_DOCS,
     "shared_blocks": SQL_SHARED_BLOCKS,
+    "block_tree_access": SQL_BLOCK_TREE_ACCESS,
+    "text_profile_ints": SQL_TEXT_PROFILE_INTS,
 }
