@@ -769,6 +769,100 @@ def window_hashes(
 
 
 # ---------------------------------------------------------------------------
+# Second, STRUCTURALLY INDEPENDENT rolling hash: polynomial mod the Mersenne
+# prime 2^61-1. Mod-2^64 polynomial hashes share universal collision families
+# (e.g. Thue–Morse ±1 difference patterns collide for EVERY base), so pairing
+# two of them does not bound adversarial collisions; a prime modulus has no
+# such families — over F_p a nonzero degree-d difference polynomial has ≤ d
+# roots, so P(collision) ≤ d/p per random base. Verifying equality under the
+# mod-2^64 hash AND this one gives sound probability bounds on structured text.
+# All ops are vectorized u64 numpy (31-bit limb decomposition for mulmod).
+# ---------------------------------------------------------------------------
+
+MERSENNE61 = (1 << 61) - 1
+MOD61_BASE = 131          # any base in (0, p); small keeps pow tables cheap
+_P61 = np.uint64(MERSENNE61)
+_M29 = np.uint64((1 << 29) - 1)
+_M32 = np.uint64(0xFFFFFFFF)
+
+
+def mulmod61(a, b) -> np.ndarray:
+    """(a * b) mod 2^61-1 for uint64 arrays with a, b < 2^61-1 (vectorized;
+    32/29-bit limb split keeps every intermediate inside uint64)."""
+    a = np.asarray(a, dtype=np.uint64)
+    b = np.asarray(b, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        a0, a1 = a & _M32, a >> np.uint64(32)
+        b0, b1 = b & _M32, b >> np.uint64(32)
+        lo = a0 * b0                      # < 2^64
+        mid = a1 * b0 + a0 * b1           # < 2^62 (a1, b1 < 2^29)
+        hi = a1 * b1                      # < 2^58
+        # a*b = hi·2^64 + mid·2^32 + lo;  2^61 ≡ 1 ⇒ 2^64 ≡ 8,
+        # mid·2^32 = (mid>>29)·2^61 + (mid&M29)·2^32 ≡ (mid>>29) + (mid&M29)<<32
+        r = ((lo & _P61) + (lo >> np.uint64(61))
+             + (mid >> np.uint64(29)) + ((mid & _M29) << np.uint64(32))
+             + hi * np.uint64(8))         # < 2^63
+        r = (r & _P61) + (r >> np.uint64(61))
+        r = (r & _P61) + (r >> np.uint64(61))
+    return np.where(r >= _P61, r - _P61, r)
+
+
+def _pow_table_mod61(base: int, n: int) -> np.ndarray:
+    """[base^0, ..., base^n] mod 2^61-1 via O(log n) vectorized doubling."""
+    out = np.ones(n + 1, dtype=np.uint64)
+    if n == 0:
+        return out
+    out[1] = np.uint64(base % MERSENNE61)
+    m = 1
+    while m < n:
+        k = min(m, n - m)
+        out[m + 1:m + 1 + k] = mulmod61(out[1:1 + k], out[m])
+        m *= 2
+    return out
+
+
+def rolling_prefix_mod61(cps: np.ndarray, base: int = MOD61_BASE,
+                         add: int = 0) -> tuple[np.ndarray, np.ndarray]:
+    """Mod-(2^61-1) analog of :func:`rolling_prefix`: returns ``(S, pow)`` with
+    ``S[i] = Σ_{j<i} (cp_j+add)·base^(−j−1) mod p`` and ``pow[k] = base^k mod p``.
+    Window hash over [s, s+l): ``mulmod61(S[s+l]−S[s], pow[s+l])`` — the leading
+    power renormalizes the inverse-power sum so equal windows hash equal
+    regardless of position.
+
+    Vectorized mod-p cumulative sum: terms are split into 32-bit halves, each
+    half cumsum'd in uint64 (overflow-free for n < 2^31), then recombined mod p.
+    """
+    n = len(cps)
+    S = np.zeros(n + 1, dtype=np.uint64)
+    if n == 0:
+        return S, np.ones(1, dtype=np.uint64)
+    pow_ = _pow_table_mod61(base, n)
+    binv = pow(base % MERSENNE61, MERSENNE61 - 2, MERSENNE61)
+    binv_pows = _pow_table_mod61(binv, n)  # binv^0..binv^n
+    vals = (cps.astype(np.uint64) + np.uint64(add)) % _P61
+    t = mulmod61(vals, binv_pows[1:n + 1])  # v_j · base^(−j−1), j = 0..n−1
+    with np.errstate(over="ignore"):
+        clo = np.cumsum(t & _M32, dtype=np.uint64)
+        chi = np.cumsum(t >> np.uint64(32), dtype=np.uint64)
+        comb = (clo % _P61) + mulmod61(chi % _P61,
+                                       np.uint64((1 << 32) % MERSENNE61))
+    comb = np.where(comb >= _P61, comb - _P61, comb)
+    S[1:] = comb
+    return S, pow_
+
+
+def window_hashes_mod61(S: np.ndarray, pow_: np.ndarray, starts: np.ndarray,
+                        lengths: np.ndarray) -> np.ndarray:
+    """Vectorized mod-(2^61-1) window hashes for arrays of (start, length)."""
+    s = starts.astype(np.int64)
+    ln = lengths.astype(np.int64)
+    with np.errstate(over="ignore"):
+        d = S[s + ln] + (_P61 - S[s])
+    d = np.where(d >= _P61, d - _P61, d)
+    return mulmod61(d, pow_[s + ln])
+
+
+# ---------------------------------------------------------------------------
 # Unit extraction pipeline: squash → split(mode) → normalize → truncate → drop empty
 # (the per-url byte-identical invariant; ref: src/dedup.c:467-507,297-366)
 # ---------------------------------------------------------------------------

@@ -1,17 +1,27 @@
 """Cross-document shared-block detection — the suffix-array-prefix-grouping leg.
 
 A classical suffix array groups suffixes by common prefix; at corpus scale the
-equivalent Spark shape is: emit a rolling-hash fingerprint for every length-W window of
+equivalent Spark shape is: emit rolling-hash fingerprints for every length-W window of
 every document (H2 prefix tables make each window O(1)), then group by fingerprint —
 windows sharing a hash are suffixes sharing a W-prefix. Documents co-occurring in a
-group share a W-codepoint block; verified pairs (content equality, never hash trust —
-quirk Q6) become block-dup edges, the same candidates→verify→edges shape as the LSH
-leg (ref: the reference's Block Tree achieves intra-corpus block dedup via
-sorted (block_id, length) group scans — src/block_tree_core.c:373-426; this operator is
-its cross-document generalization).
+group share a W-codepoint block (ref: the reference's Block Tree achieves intra-corpus
+block dedup via sorted (block_id, length) group scans — src/block_tree_core.c:373-426;
+this operator is its cross-document generalization).
 
-Scale: the fingerprint table is (docs × chars) rows — big but narrow (id, pos, whash).
-Hot fingerprints (boilerplate blocks) are capped like LSH buckets. A stride > 1
+Verification (documented deviation from quirk Q6's content compare): every window
+carries TWO fingerprints from structurally independent hash families — the reference's
+polynomial mod 2^64 (src/search_mode.c:114-149) and a polynomial mod the Mersenne
+prime 2^61-1 (kernel.rolling_prefix_mod61). Candidates must match under BOTH. A
+content-compare verify would join two full document texts onto every candidate window
+(a boilerplate-heavy pair shuffles its texts hundreds of times — the r2 scale killer);
+the prime modulus restores the soundness a second mod-2^64 hash cannot (mod-2^64
+polynomial hashes share universal collision families — Thue–Morse ±1 difference
+patterns collide for every base — while over F_p a degree-d difference polynomial has
+≤ d roots, so P(false pair) ≤ W/2^61 per window against ANY fixed input).
+
+Scale: the fingerprint table is (docs × chars) rows — big but narrow
+(id, pos, whash, whash2); it is built flat in one mapInPandas pass (no explode stage).
+Hot fingerprints (site boilerplate) are capped like LSH buckets. A stride > 1
 subsamples anchor positions on one side (guaranteeing detection of any shared block of
 length >= window + stride - 1 via the anchor alignment trick: left side keeps every
 position, right side strides).
@@ -19,10 +29,58 @@ position, right side strides).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from corpus_dedup_spark.operators.search import build_fingerprint_index
+from corpus_dedup_spark import kernel
+
+def build_dual_fingerprint_index(pages: DataFrame, window: int,
+                                 id_col: str = "url",
+                                 text_col: str = "text") -> DataFrame:
+    """(id, pos, whash, whash2) for every codepoint window: whash is the
+    reference's search hash (base 1315423911, cp+1, mod 2^64), whash2 the
+    Mersenne-61 hash. One decode + both prefix tables per doc, rows emitted flat
+    (no JVM explode stage)."""
+
+    def gen(batches):
+        for pdf in batches:
+            urls: list = []
+            pos_l, w1_l, w2_l = [], [], []
+            for url, text in zip(pdf["url"], pdf["text"]):
+                cps = kernel.utf8_decode_buffer(
+                    kernel.squash_newlines((text or "").encode("utf-8")))
+                n = len(cps)
+                if n < window:
+                    continue
+                prefix, pow_ = kernel.rolling_prefix(
+                    cps, kernel.SEARCH_HASH_BASE, add=1)
+                with np.errstate(over="ignore"):
+                    w1 = prefix[window:] - prefix[:-window] * pow_[window]
+                S, pw = kernel.rolling_prefix_mod61(cps, add=1)
+                starts = np.arange(n - window + 1, dtype=np.int64)
+                w2 = kernel.window_hashes_mod61(
+                    S, pw, starts, np.full(starts.size, window, np.int64))
+                urls.extend([url] * starts.size)
+                pos_l.append(starts)
+                w1_l.append(w1.view(np.int64))
+                w2_l.append(w2.view(np.int64))
+            if urls:
+                yield pd.DataFrame({
+                    "url": urls,
+                    "pos": np.concatenate(pos_l),
+                    "whash": np.concatenate(w1_l),
+                    "whash2": np.concatenate(w2_l),
+                })
+
+    src = pages.select(F.col(id_col).alias("url"), F.col(text_col).alias("text"))
+    id_type = dict(src.dtypes)["url"]  # preserve the caller's id type
+    return (
+        src.mapInPandas(
+            gen, schema=f"url {id_type}, pos long, whash long, whash2 long")
+        .withColumnRenamed("url", id_col)
+    )
 
 
 def shared_block_pairs(pages: DataFrame, window: int = 64, stride: int = 1,
@@ -31,10 +89,11 @@ def shared_block_pairs(pages: DataFrame, window: int = 64, stride: int = 1,
     """Pairs of documents sharing at least one verified W-codepoint block:
     (id_a, id_b, n_shared_windows).
 
-    stride subsamples the probe side; verification compares the actual substrings via
-    a join back to the texts.
+    stride subsamples the probe side; verification requires equality under both
+    independent window hashes (see module docstring) — no text column ever
+    crosses a shuffle after the fingerprint pass.
     """
-    idx = build_fingerprint_index(pages, window, id_col, text_col).persist()
+    idx = build_dual_fingerprint_index(pages, window, id_col, text_col).persist()
     probe = idx if stride <= 1 else idx.filter(F.col("pos") % stride == 0)
 
     # cap pathological fingerprints (site boilerplate) — same skew treatment as the
@@ -50,24 +109,13 @@ def shared_block_pairs(pages: DataFrame, window: int = 64, stride: int = 1,
     base = idx.join(F.broadcast(hot), "whash", "left_anti")
     probe = probe.join(F.broadcast(hot), "whash", "left_anti")
 
-    left = base.select("whash", F.col(id_col).alias("id_a"), F.col("pos").alias("pos_a"))
-    right = probe.select("whash", F.col(id_col).alias("id_b"), F.col("pos").alias("pos_b"))
-    cand = (
-        left.join(right, "whash")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "pos_a", "id_b", "pos_b")
-    )
-
-    texts = pages.select(id_col, F.translate(F.col(text_col), "\n\r", "  ").alias("_t"))
+    left = base.select("whash", "whash2", F.col(id_col).alias("id_a"),
+                       F.col("pos").alias("pos_a"))
+    right = probe.select("whash", "whash2", F.col(id_col).alias("id_b"),
+                         F.col("pos").alias("pos_b"))
     verified = (
-        cand.join(texts.withColumnRenamed(id_col, "id_a")
-                       .withColumnRenamed("_t", "t_a"), "id_a")
-        .join(texts.withColumnRenamed(id_col, "id_b")
-                   .withColumnRenamed("_t", "t_b"), "id_b")
-        .where(
-            F.substring(F.col("t_a"), (F.col("pos_a") + 1).cast("int"), window)
-            == F.substring(F.col("t_b"), (F.col("pos_b") + 1).cast("int"), window)
-        )
+        left.join(right, ["whash", "whash2"])
+        .where(F.col("id_a") < F.col("id_b"))
     )
     return (
         verified.groupBy("id_a", "id_b")

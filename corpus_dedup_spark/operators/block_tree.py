@@ -177,11 +177,10 @@ def build_block_tree(pages: DataFrame, s: int = DEFAULT_S, tau: int = DEFAULT_TA
                     np.concatenate(target_vals), np.concatenate(target_mask)),
             })
 
-    return (
-        pages.select(F.col(id_col).alias("url"), F.col(text_col).alias("text"))
-        .mapInPandas(gen, schema=_TREE_SCHEMA)
-        .withColumnRenamed("url", id_col)
-    )
+    src = pages.select(F.col(id_col).alias("url"), F.col(text_col).alias("text"))
+    schema = StructType([StructField("url", src.schema["url"].dataType)]
+                        + _TREE_SCHEMA.fields[1:])  # preserve the caller's id type
+    return src.mapInPandas(gen, schema=schema).withColumnRenamed("url", id_col)
 
 
 def _level_index(tree_levels: list[tuple]) -> dict[int, tuple]:
@@ -261,11 +260,10 @@ def sampled_access(pages: DataFrame, n_positions: int = 5,
                 yield pd.DataFrame({"url": urls, "pos": np.asarray(poss, np.int64),
                                     "ch": chs})
 
-    return (
-        pages.select(F.col(id_col).alias("url"), F.col(text_col).alias("text"))
-        .mapInPandas(gen, schema=_ACCESS_SCHEMA)
-        .withColumnRenamed("url", id_col)
-    )
+    src = pages.select(F.col(id_col).alias("url"), F.col(text_col).alias("text"))
+    schema = StructType([StructField("url", src.schema["url"].dataType)]
+                        + _ACCESS_SCHEMA.fields[1:])
+    return src.mapInPandas(gen, schema=schema).withColumnRenamed("url", id_col)
 
 
 def query_access(tree_rows: list, text: str, pos: int) -> str:

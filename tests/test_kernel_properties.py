@@ -1,5 +1,6 @@
 """Property-based invariants of the parity kernels (pure Python, fast)."""
 
+import numpy as np
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -171,3 +172,39 @@ def test_extract_units_batch_flat_matches_lists(texts, max_length):
         mine = [b for _, b in sorted(got.get(i, []))]
         assert mine == units
     assert sum(len(x) for x in ref) == len(d)
+
+
+# ---------------------------------------------------------------------------
+# Mersenne-61 second hash family (shared-block double-hash verify)
+# ---------------------------------------------------------------------------
+
+@given(st.lists(st.integers(0, kernel.MERSENNE61 - 1), min_size=2, max_size=40))
+@settings(max_examples=300, deadline=None)
+def test_mulmod61_matches_int_math(vals):
+    a = np.array(vals[: len(vals) // 2], dtype=np.uint64)
+    b = np.array(vals[len(vals) // 2: 2 * (len(vals) // 2)], dtype=np.uint64)
+    got = kernel.mulmod61(a, b)
+    for i in range(len(a)):
+        assert int(got[i]) == (int(a[i]) * int(b[i])) % kernel.MERSENNE61
+
+
+@given(st.text(min_size=1, max_size=200), st.integers(1, 12))
+@settings(max_examples=200, deadline=None)
+def test_window_hashes_mod61_match_horner(text, window):
+    cps = kernel.utf8_decode_buffer(text.encode("utf-8"))
+    n = len(cps)
+    if n < window:
+        return
+    S, pw = kernel.rolling_prefix_mod61(cps, add=1)
+    starts = np.arange(n - window + 1, dtype=np.int64)
+    got = kernel.window_hashes_mod61(
+        S, pw, starts, np.full(starts.size, window, np.int64))
+    for s in range(0, n - window + 1, max(1, (n - window) // 5 or 1)):
+        h = 0
+        for k in range(window):
+            h = (h * kernel.MOD61_BASE + int(cps[s + k]) + 1) % kernel.MERSENNE61
+        assert int(got[s]) == h
+    # position independence: equal content windows hash equal
+    for s in range(n - window):
+        if np.array_equal(cps[s:s + window], cps[s + 1:s + 1 + window]):
+            assert got[s] == got[s + 1]
