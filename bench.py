@@ -64,6 +64,10 @@ def main() -> None:
     ap.add_argument("--skip-queries", action="store_true")
     ap.add_argument("--n-docs", type=int, default=None,
                     help="override synthetic corpus size (default 500k*sf)")
+    ap.add_argument("--master", default=None,
+                    help="master URL override, e.g. local-cluster[4,1,4096] for "
+                         "real separate executor JVMs (--cores should equal the "
+                         "total core count for partition sizing)")
     args = ap.parse_args()
 
     sf = _sf_from_dir(args.sf_dir)
@@ -89,7 +93,7 @@ def main() -> None:
     parts = max(args.cores, 8, min(3 * args.cores, n_docs_hint // 8000))
     spark = build_session(
         app_name=f"bench_c{args.cores}",
-        master=f"local[{args.cores}]",
+        master=args.master or f"local[{args.cores}]",
         shuffle_partitions=parts,
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -124,16 +128,24 @@ def main() -> None:
         return p
 
     # headline 1: reference exact-dedup pipeline end-to-end — ONE job: the summary
-    # counters ride along as an Observation on the reassembly action
+    # counters ride along as an Observation on the reassembly action.
+    # AQE is disabled for this leg only (runtime conf, restored after): the
+    # pipeline is a fixed two-exchange shape with NO joins and uniform
+    # content-hash keys — there is nothing for AQE to adapt, and its per-stage
+    # re-planning barrier is pure driver latency (measured 1.60 s → 1.12 s at
+    # 50k docs/32 cores, alternating A/B). The near-dup leg keeps AQE: its
+    # bucket/verify joins benefit from skew splitting and coalescing.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     t_exact = float("inf")
-    for _ in range(repeats):
-        p = fresh_pages()
+    for _ in range(max(repeats, 5)):  # short leg: extra repeats are cheap and
+        p = fresh_pages()             # raise the odds of one co-tenant-free window
         t0 = time.time()
         deduped, obs = run_exact_dedup_observed(p)
         n_out = deduped.count()
         stats_row = obs.get
         t_exact = min(t_exact, time.time() - t0)
     timings["pages_exact_dedup"] = round(t_exact, 3)
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
 
     # headline 2: near-dup LSH + connected components
     cfg = DedupConfig(jaccard_threshold=0.5)

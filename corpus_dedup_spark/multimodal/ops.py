@@ -47,7 +47,7 @@ FEATURES_SCHEMA = StructType([
 FEATURE_DIM = 32
 
 
-def _fake_decode(payload: bytes, kind: str) -> np.ndarray:
+def _fake_decode(payload: bytes, kind: str) -> np.ndarray | None:
     """Deterministic fake feature extractor: a stable pseudo-embedding derived from the
     payload bytes. REAL decode (PIL/ffmpeg/torchaudio) goes here in production."""
     digest = hashlib.sha256(payload or b"").digest()
@@ -57,24 +57,63 @@ def _fake_decode(payload: bytes, kind: str) -> np.ndarray:
     return v / np.linalg.norm(v)
 
 
+def _pil_decode(payload: bytes, kind: str) -> np.ndarray | None:
+    """Real image decode via Pillow: grayscale 8×4 thumbnail → L2-normalized
+    FEATURE_DIM vector (the classic tiny-thumbnail perceptual feature). Rows that
+    cannot be decoded (corrupt payload, non-image kind — audio/video need
+    ffmpeg-class codecs that stay stubbed) yield NULL features instead of failing
+    the job: at corpus scale a bad media row is data, not an error."""
+    if kind != "image":
+        return None
+    from io import BytesIO
+
+    from PIL import Image
+
+    try:
+        img = Image.open(BytesIO(payload or b"")).convert("L").resize((8, 4))
+    except Exception:
+        return None
+    v = np.asarray(img, dtype=np.float32).ravel()[:FEATURE_DIM]
+    n = float(np.linalg.norm(v))
+    return v / n if n > 0 else v
+
+
+def _resolve_decoder(fake: bool):
+    """Pick the decoder INSIDE the worker (codec availability is a property of the
+    executor image): fake stub when asked, Pillow when importable, else None —
+    the caller raises the honest NotImplementedError."""
+    if fake:
+        return _fake_decode
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        return None
+    return _pil_decode
+
+
 def extract_media_features(media: DataFrame, fake: bool = False) -> DataFrame:
     """media table → (media_id, kind, n_bytes, content_hash, features).
 
-    The mapInPandas batch shape, schema and fingerprinting are production-real; only
-    the decoder is stubbed. content_hash is CRC-based and decode-free, so exact-dup
-    media detection works even without codecs.
+    The mapInPandas batch shape, schema and fingerprinting are production-real.
+    Decoding: with ``fake=True`` the deterministic stub runs everywhere; with
+    ``fake=False`` images decode for REAL where Pillow is importable on the
+    executors (guarded import, resolved worker-side), and the call raises an
+    honest NotImplementedError where no codec exists. content_hash is CRC-based
+    and decode-free, so exact-dup media detection works even without codecs.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decoder = _resolve_decoder(fake)
         for pdf in batches:
             feats = []
             for payload, kind in zip(pdf["payload"], pdf["kind"]):
-                if fake:
-                    feats.append(_fake_decode(bytes(payload or b""), kind).tolist())
-                else:
+                if decoder is None:
                     raise NotImplementedError(
-                        "media decoding requires codec libraries not present in this "
-                        "environment; pass fake=True for the deterministic stub")
+                        "media decoding requires codec libraries (Pillow) not "
+                        "present in this environment; pass fake=True for the "
+                        "deterministic stub")
+                v = decoder(bytes(payload or b""), kind)
+                feats.append(v.tolist() if v is not None else None)
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],

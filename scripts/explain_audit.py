@@ -130,9 +130,21 @@ def main() -> None:
     sbp = shared_block_pairs(pages, window=32)
     sections.append((
         "Shared-block pairs (groupBy sizes + broadcast anti-join; NO window over "
-        "the fingerprint index)",
+        "the fingerprint index; dual-hash verify -> NO text column in any join)",
         plan_of(sbp),
-        ["LeftAnti", "!Window"],
+        ["LeftAnti", "whash2", "!Window", "!substring"],
+    ))
+
+    # 6b. block tree: the whole per-doc recursion is ONE map pass — no Exchange,
+    # no per-level text join anywhere in the construction plan
+    from corpus_dedup_spark.operators.block_tree import build_block_tree
+
+    bt = build_block_tree(pages.limit(20))
+    sections.append((
+        "Block-tree construction (single worker-side MapInPandas; no Exchange, "
+        "no per-level joins)",
+        plan_of(bt),
+        ["MapInPandas", "!Exchange", "!SortMergeJoin", "!BroadcastHashJoin"],
     ))
 
     # 7. search line/col derivation: pure codegen expressions, no Python

@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Multi-JVM N→4N EXECUTOR scaling evidence via Spark's local-cluster master.
+
+``local-cluster[N, C, M]`` launches N real, separate executor JVM processes (own
+heaps, own allocators, own Python worker pools) on this box — the closest sandbox
+analog of the north rule's "N to 4N executors" criterion (single-JVM local[N]
+shares one heap/allocator across all task threads, which is NOT how a cluster
+scales). Default pair: 1 executor → 4 executors at 1 core each, which stays
+inside this host's measured memory-bus headroom (see scripts/bus_probe.py; above
+~8 threads the box saturates its shared bus and measures the hardware, not the
+engine).
+
+Protocol identical to run_scaling.py: alternating rounds, fresh driver JVM per
+run, in-JVM warmup + best-of-repeats, min per level.
+
+  python scripts/run_scaling_cluster.py --round 0
+  python scripts/run_scaling_cluster.py --round 1
+  python scripts/run_scaling_cluster.py --report
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+RAW = os.path.join(REPO, ".bench_cache", "scaling_cluster_runs.jsonl")
+N_DOCS = int(os.environ.get("SCALING_N_DOCS", "100000"))
+EXEC_CORES = int(os.environ.get("SCALING_EXEC_CORES", "1"))
+EXEC_MEM_MB = int(os.environ.get("SCALING_EXEC_MEM_MB", "4096"))
+N_EXECS = (int(os.environ.get("SCALING_EXECS_N", "1")),
+           int(os.environ.get("SCALING_EXECS_4N", "4")))
+
+
+def run(n_execs: int) -> dict:
+    master = f"local-cluster[{n_execs},{EXEC_CORES},{EXEC_MEM_MB}]"
+    cores = n_execs * EXEC_CORES
+    env = dict(os.environ, BENCH_REPEATS=os.environ.get("BENCH_REPEATS", "2"),
+               PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""))
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"), "--cores", str(cores),
+         "--master", master, "--skip-queries", "--n-docs", str(N_DOCS)],
+        capture_output=True, text=True, cwd=REPO, check=True, env=env,
+    )
+    line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
+    r = json.loads(line)
+    r["master"] = master
+    r["n_execs"] = n_execs
+    return r
+
+
+def do_round(i: int) -> None:
+    os.makedirs(os.path.dirname(RAW), exist_ok=True)
+    order = N_EXECS if i % 2 == 0 else N_EXECS[::-1]
+    with open(RAW, "a") as f:
+        for n in order:
+            r = run(n)
+            r["round"] = i
+            f.write(json.dumps(r) + "\n")
+            print(json.dumps(r))
+
+
+def report() -> None:
+    runs = [json.loads(ln) for ln in open(RAW)]
+    lo_n, hi_n = N_EXECS
+    best = {}
+    for n in (lo_n, hi_n):
+        mine = [r for r in runs if r.get("n_execs") == n and r["n_docs"] == N_DOCS]
+        best[n] = min(mine, key=lambda r: r["value"])
+    eff = (best[hi_n]["docs_per_sec"] / best[lo_n]["docs_per_sec"]) / (hi_n / lo_n)
+    summary = {
+        "mode": "local-cluster (separate executor JVMs)",
+        "exec_cores": EXEC_CORES,
+        "n_execs": [lo_n, hi_n],
+        "best_docs_per_sec": {str(n): best[n]["docs_per_sec"] for n in best},
+        "best_exact_docs_per_sec": {
+            str(n): best[n]["docs_per_sec_exact"] for n in best},
+        "efficiency": round(eff, 3),
+        "pass_ge_0_8": eff >= 0.8,
+        "n_rounds": max(r.get("round", 0) for r in runs) + 1,
+    }
+    out_path = os.path.join(REPO, ".bench_cache", "scaling_cluster_summary.json")
+    with open(out_path, "w") as f:
+        json.dump(summary, f, indent=1)
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--round", type=int, default=None)
+    ap.add_argument("--report", action="store_true")
+    a = ap.parse_args()
+    if a.round is not None:
+        do_round(a.round)
+    if a.report:
+        report()
