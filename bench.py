@@ -127,35 +127,37 @@ def main() -> None:
         p.count()
         return p
 
-    # headline 1: reference exact-dedup pipeline end-to-end — ONE job: the summary
-    # counters ride along as an Observation on the reassembly action.
+    # Headline legs, INTERLEAVED repeats (exact, near, exact, near, ...): the
+    # host's co-tenant storms last minutes — back-to-back repeats of one leg can
+    # all land inside a single storm, while interleaving gives each leg samples
+    # spread across the whole measurement window at no extra cost.
+    #
+    # headline 1: reference exact-dedup pipeline end-to-end — ONE job: the
+    # summary counters ride along as an Observation on the reassembly action.
     # AQE is disabled for this leg only (runtime conf, restored after): the
     # pipeline is a fixed two-exchange shape with NO joins and uniform
     # content-hash keys — there is nothing for AQE to adapt, and its per-stage
     # re-planning barrier is pure driver latency (measured 1.60 s → 1.12 s at
     # 50k docs/32 cores, alternating A/B). The near-dup leg keeps AQE: its
     # bucket/verify joins benefit from skew splitting and coalescing.
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    t_exact = float("inf")
-    for _ in range(max(repeats, 5)):  # short leg: extra repeats are cheap and
-        p = fresh_pages()             # raise the odds of one co-tenant-free window
+    cfg = DedupConfig(jaccard_threshold=0.5)
+    t_exact = t_near = float("inf")
+    for _ in range(max(repeats, 4)):
+        p = fresh_pages()
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
         t0 = time.time()
         deduped, obs = run_exact_dedup_observed(p)
         n_out = deduped.count()
         stats_row = obs.get
         t_exact = min(t_exact, time.time() - t0)
-    timings["pages_exact_dedup"] = round(t_exact, 3)
-    spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
 
-    # headline 2: near-dup LSH + connected components
-    cfg = DedupConfig(jaccard_threshold=0.5)
-    t_near = float("inf")
-    for _ in range(repeats):
         p = fresh_pages()
         t0 = time.time()
         clusters = near_dup_clusters(p, cfg).cache()
         n_clustered = clusters.count()
         t_near = min(t_near, time.time() - t0)
+    timings["pages_exact_dedup"] = round(t_exact, 3)
     timings["pages_near_dup_clusters"] = round(t_near, 3)
 
     # exact-pair recall vs planted truth (clusters agree ⇒ pair recalled)
@@ -174,14 +176,21 @@ def main() -> None:
     ).collect()[0]
     recall = (rec["hit"] / rec["n"]) if rec["n"] else 1.0
 
-    # representative operator queries on the driver's sf tables
+    # representative operator queries on the driver's sf tables — best-of-N like
+    # the headline legs (a single sample is at the mercy of co-tenant storms and
+    # reads as a phantom regression round-over-round)
+    q_repeats = int(os.environ.get("BENCH_QUERY_REPEATS", "2"))
     if not args.skip_queries:
         for qname in ("token_jaccard_pairs", "cc_bucket_clusters",
                       "substring_search", "embedding_top1", "event_hourly",
                       "sentence_dedup_pages"):
-            t0 = time.time()
-            QUERIES[qname](spark, args.sf_dir).count()
-            timings[qname] = round(time.time() - t0, 3)
+            t_best = float("inf")
+            for _ in range(q_repeats):
+                spark.catalog.clearCache()
+                t0 = time.time()
+                QUERIES[qname](spark, args.sf_dir).count()
+                t_best = min(t_best, time.time() - t0)
+            timings[qname] = round(t_best, 3)
 
         # indexed search: the index is built ONCE per window size (the production
         # shape — src/search_mode.c builds its tables once per session); probes are

@@ -139,7 +139,9 @@ def main() -> None:
     # no per-level text join anywhere in the construction plan
     from corpus_dedup_spark.operators.block_tree import build_block_tree
 
-    bt = build_block_tree(pages.limit(20))
+    # subset via filter, not limit — GlobalLimit itself inserts an Exchange and
+    # would mask the property under audit (the operator adds none)
+    bt = build_block_tree(pages.filter(F.col("n_chars") < 200))
     sections.append((
         "Block-tree construction (single worker-side MapInPandas; no Exchange, "
         "no per-level joins)",
