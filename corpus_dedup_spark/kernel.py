@@ -107,6 +107,18 @@ def utf8_decode_buffer(data: bytes) -> np.ndarray:
     return _utf8_decode_vec(arr)
 
 
+def utf8_decode_buffer_pos(data: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """Like :func:`utf8_decode_buffer` but also returns each codepoint's BYTE
+    start position — the bridge that lets the codepoint-level splitter emit
+    byte spans over the original buffer."""
+    if not data:
+        return np.empty(0, dtype=np.uint32), np.empty(0, dtype=np.int64)
+    arr = np.frombuffer(data, dtype=np.uint8)
+    if (arr < 0x80).all():
+        return arr.astype(np.uint32), np.arange(len(arr), dtype=np.int64)
+    return _utf8_decode_vec_pos(arr)
+
+
 def _utf8_decode_vec(arr: np.ndarray) -> np.ndarray:
     """Vectorized decode, bit-identical to the scalar advance loop.
 
@@ -153,6 +165,44 @@ def _utf8_decode_vec(arr: np.ndarray) -> np.ndarray:
                  np.where(v3, cp3,
                           np.where(v4, cp4, np.uint32(0xFFFD)))))
     return cp[is_start]
+
+
+def _utf8_decode_vec_pos(arr: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """:func:`_utf8_decode_vec` variant returning (codepoints, byte positions)."""
+    n = arr.shape[0]
+    pad = np.zeros(n + 3, dtype=np.uint8)
+    pad[:n] = arr
+    b0 = arr.astype(np.uint32)
+    b1 = pad[1:n + 1].astype(np.uint32)
+    b2 = pad[2:n + 2].astype(np.uint32)
+    b3 = pad[3:n + 3].astype(np.uint32)
+    c1 = (pad[1:n + 1] & 0xC0) == 0x80
+    c2 = (pad[2:n + 2] & 0xC0) == 0x80
+    c3 = (pad[3:n + 3] & 0xC0) == 0x80
+    ascii_ = arr < 0x80
+    lead2 = (arr & 0xE0) == 0xC0
+    lead3 = (arr & 0xF0) == 0xE0
+    lead4 = (arr & 0xF8) == 0xF0
+    cp2 = ((b0 & 0x1F) << 6) | (b1 & 0x3F)
+    cp3 = ((b0 & 0x0F) << 12) | ((b1 & 0x3F) << 6) | (b2 & 0x3F)
+    cp4 = (((b0 & 0x07) << 18) | ((b1 & 0x3F) << 12)
+           | ((b2 & 0x3F) << 6) | (b3 & 0x3F))
+    v2 = lead2 & c1 & (cp2 >= 0x80)
+    v3 = lead3 & c1 & c2 & (cp3 >= 0x800) & ~((cp3 >= 0xD800) & (cp3 <= 0xDFFF))
+    v4 = lead4 & c1 & c2 & c3 & (cp4 >= 0x10000) & (cp4 <= 0x10FFFF)
+    cont = (arr & 0xC0) == 0x80
+    covered = np.zeros(n, dtype=bool)
+    covered[1:] = v2[:-1] | v3[:-1] | v4[:-1]
+    covered[2:] |= v3[:-2] | v4[:-2]
+    covered[3:] |= v4[:-3]
+    is_start = ~cont | ~covered
+    cp = np.where(
+        ascii_, b0,
+        np.where(v2, cp2,
+                 np.where(v3, cp3,
+                          np.where(v4, cp4, np.uint32(0xFFFD)))))
+    pos = np.flatnonzero(is_start)
+    return cp[pos], pos
 
 
 # ---------------------------------------------------------------------------
@@ -463,21 +513,236 @@ def _split_ascii_batch(
     return doc_all, st_all - offsets[doc_all], ln_all
 
 
+# ---------------------------------------------------------------------------
+# Codepoint-level vectorized splitter: the non-ASCII batch path. Real web text
+# is mostly non-ASCII, so at corpus scale THIS is the hot path — the scalar
+# automaton stays as the executable spec (property-tested equivalence).
+# ---------------------------------------------------------------------------
+
+_CP_TABLE_SIZE = 0x110000
+
+
+def _build_cp_tables() -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    ws = np.zeros(_CP_TABLE_SIZE, dtype=bool)           # _is_basic_white_space
+    ws[: 0x21] = True
+    for _c in (0x00A0, 0x1680, 0x3000, 0x2028, 0x2029, 0x202F, 0x205F):
+        ws[_c] = True
+    ws[0x2000:0x200B] = True
+    cl = np.zeros(_CP_TABLE_SIZE, dtype=bool)           # ASCII + unicode closers
+    for _c in b"\"')]}":
+        cl[_c] = True
+    for _c in _UNICODE_CLOSERS:
+        cl[_c] = True
+    im = np.zeros(_CP_TABLE_SIZE, dtype=bool)           # immediate terminators
+    for _c in _IMMEDIATE_TERMINATORS:
+        im[_c] = True
+    return ws, cl, im
+
+
+_CP_WS_TBL, _CP_CLOSER_TBL, _CP_IMM_TBL = _build_cp_tables()
+
+
+def _split_cp_batch(
+    cps: np.ndarray, offsets: np.ndarray, ends: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized sentence splitting over a CONCATENATED codepoint buffer —
+    the full-UTF-8 generalization of :func:`_split_ascii_batch`.
+
+    Spans are in CODEPOINT indices; callers map back to byte offsets via the
+    positions from :func:`utf8_decode_buffer_pos`. Semantics mirror the scalar
+    automaton exactly (property-tested): ASCII ``. ! ?`` events keep the
+    run/closer/whitespace-gap/dot-suppression machinery; immediate terminators
+    (。？！…؟｡ — src/sentence_splitter.c:21-24) each split unconditionally after
+    closer absorption, with NO run merging (the scalar loop handles them one at
+    a time) and no whitespace-gap requirement; invalid bytes decode to U+FFFD,
+    which is in no character class — exactly the scalar ``cursor++``.
+    """
+    N = cps.shape[0]
+    n_docs = offsets.shape[0]
+    idx = cps.astype(np.int64)
+    ss0 = _skip_class_vec(idx, offsets.copy(), ends, _CP_WS_TBL, N)
+
+    is_term = (cps == 0x2E) | (cps == 0x21) | (cps == 0x3F)
+    ev = np.flatnonzero(is_term)
+    ev_i = np.flatnonzero(_CP_IMM_TBL[idx])
+    e_parts, after_parts, ws_parts, doc_parts = [], [], [], []
+
+    if ev.size:
+        # maximal same-char run starts; a doc start always begins a fresh run
+        oidx = np.searchsorted(offsets, ev, side="left")
+        at_doc_start = (oidx < n_docs) & (offsets[np.minimum(oidx, n_docs - 1)] == ev)
+        starts_mask = at_doc_start
+        nz = ev > 0
+        starts_mask[nz] |= cps[ev[nz] - 1] != cps[ev[nz]]
+        e = ev[starts_mask]
+
+        doc_idx = np.searchsorted(ends, e, side="right")
+        d_end = ends[doc_idx]
+        d_start = offsets[doc_idx]
+
+        b0 = cps[e]
+        term_end = np.minimum(e + 1, d_end)
+        active = (term_end < d_end) & (cps[np.minimum(term_end, N - 1)] == b0)
+        it = 0
+        while active.any():
+            it += 1
+            if it > 24:  # pathological terminator run → scalar per-event
+                for k in np.flatnonzero(active):
+                    p, lim, c = int(term_end[k]), int(d_end[k]), cps[e[k]]
+                    while p < lim and cps[p] == c:
+                        p += 1
+                    term_end[k] = p
+                break
+            term_end[active] += 1
+            active = (term_end < d_end) & (cps[np.minimum(term_end, N - 1)] == b0)
+
+        after = _skip_class_vec(idx, term_end, d_end, _CP_CLOSER_TBL, N)
+        ws = _skip_class_vec(idx, after.copy(), d_end, _CP_WS_TBL, N)
+
+        gap = ws > after
+        is_dot = b0 == 0x2E
+        blocked = np.zeros(e.shape, dtype=bool)
+        need = is_dot & gap & (ws < d_end)
+        if need.any():
+            lower = idx | 0x20  # only consulted through ASCII range checks
+
+            def alpha_at(p):
+                ok = p >= d_start
+                v = lower[np.maximum(p, 0)]
+                return ok & (v >= 97) & (v <= 122)
+            a1 = alpha_at(e - 1)
+            a2 = a1 & alpha_at(e - 2)
+            a3 = a2 & alpha_at(e - 3)
+            a4 = a3 & alpha_at(e - 4)
+            ln = (a1.astype(np.int8) + a2.astype(np.int8)
+                  + a3.astype(np.int8) + a4.astype(np.int8))
+            valid_ln = a1 & ~a4  # 1 <= ln <= 3
+            ws_c = np.minimum(ws, N - 1)
+            lower_follows = (cps[ws_c] >= 97) & (cps[ws_c] <= 122)
+            word_ok = np.zeros(e.shape, dtype=bool)
+            two = need & valid_ln & (ln == 2)
+            if two.any():
+                code = (lower[e[two] - 2] << 8) | lower[e[two] - 1]
+                word_ok[two] = np.isin(code, _ABBREV_2_CODES)
+            three = need & valid_ln & (ln == 3)
+            if three.any():
+                code = (lower[e[three] - 3] << 16) | \
+                       (lower[e[three] - 2] << 8) | lower[e[three] - 1]
+                word_ok[three] = np.isin(code, _ABBREV_3_CODES)
+            blocked = need & valid_ln & (lower_follows | word_ok)
+
+        split = (after >= d_end) | (gap & ~(is_dot & blocked))
+        e_parts.append(e[split])
+        after_parts.append(after[split])
+        ws_parts.append(ws[split])
+        doc_parts.append(doc_idx[split])
+
+    if ev_i.size:
+        doc_i = np.searchsorted(ends, ev_i, side="right")
+        d_end_i = ends[doc_i]
+        after_i = _skip_class_vec(
+            idx, np.minimum(ev_i + 1, d_end_i), d_end_i, _CP_CLOSER_TBL, N)
+        ws_i = _skip_class_vec(idx, after_i.copy(), d_end_i, _CP_WS_TBL, N)
+        e_parts.append(ev_i)
+        after_parts.append(after_i)
+        ws_parts.append(ws_i)
+        doc_parts.append(doc_i)
+
+    last_ss = ss0.copy()
+    if e_parts:
+        e_all = np.concatenate(e_parts)
+        order = np.argsort(e_all, kind="stable")
+        s_after = np.concatenate(after_parts)[order]
+        s_ws = np.concatenate(ws_parts)[order]
+        s_doc = np.concatenate(doc_parts)[order]
+    else:
+        s_after = s_ws = s_doc = np.empty(0, dtype=np.int64)
+
+    if s_after.size:
+        first_in = np.ones(s_doc.shape, dtype=bool)
+        first_in[1:] = s_doc[1:] != s_doc[:-1]
+        ss_arr = np.empty(s_after.shape, dtype=np.int64)
+        ss_arr[1:] = s_ws[:-1]
+        ss_arr[first_in] = ss0[s_doc[first_in]]
+        keep = s_after > ss_arr
+        span_doc = s_doc[keep]
+        span_start = ss_arr[keep]
+        span_len = s_after[keep] - ss_arr[keep]
+        last_in = np.ones(s_doc.shape, dtype=bool)
+        last_in[:-1] = s_doc[1:] != s_doc[:-1]
+        last_ss[s_doc[last_in]] = s_ws[last_in]
+    else:
+        span_doc = np.empty(0, dtype=np.int64)
+        span_start = np.empty(0, dtype=np.int64)
+        span_len = np.empty(0, dtype=np.int64)
+
+    tail_keep = ends > last_ss
+    tail_doc = np.flatnonzero(tail_keep)
+    doc_all = np.concatenate([span_doc, tail_doc])
+    st_all = np.concatenate([span_start, last_ss[tail_keep]])
+    ln_all = np.concatenate([span_len, (ends - last_ss)[tail_keep]])
+    order = np.lexsort((st_all, doc_all))
+    doc_all, st_all, ln_all = doc_all[order], st_all[order], ln_all[order]
+    return doc_all, st_all - offsets[doc_all], ln_all
+
+
+def _split_nonascii_docs_byte_spans(
+    texts: list[bytes],
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, bytes]:
+    """Batched codepoint-split of non-ASCII docs → per-doc BYTE spans.
+
+    Returns ``(doc_idx, byte_start_global, byte_end_global, blob)`` where the
+    offsets index ``blob`` = texts joined by a single NUL separator. The NUL is
+    ASCII and non-continuation, so the one-shot vectorized decode of the whole
+    blob cannot merge sequences across document boundaries; per-doc clamps in
+    :func:`_split_cp_batch` keep the separator itself out of every span."""
+    blob = b"\x00".join(texts)
+    arr = np.frombuffer(blob, dtype=np.uint8)
+    cps, bpos = _utf8_decode_vec_pos(arr)
+    lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=len(texts))
+    doc_boff = np.zeros(len(lens), dtype=np.int64)
+    np.cumsum(lens[:-1] + 1, out=doc_boff[1:])  # +1 per NUL separator
+    doc_bend = doc_boff + lens
+    cp_off = np.searchsorted(bpos, doc_boff)
+    cp_end = np.searchsorted(bpos, doc_bend)
+    doc_all, st_loc, ln_cp = _split_cp_batch(cps, cp_off, cp_end)
+    bpos_ext = np.concatenate([bpos, [len(blob)]])
+    g0 = cp_off[doc_all] + st_loc
+    gs = bpos_ext[g0]
+    ge = bpos_ext[g0 + ln_cp]
+    return doc_all, gs, ge, blob
+
+
 def split_sentences_batch(texts: list[bytes]) -> list[list[tuple[int, int]]]:
-    """Batched :func:`split_sentences` — ONE vectorized pass over all pure-ASCII
-    documents in the batch (non-ASCII docs fall back to the scalar automaton).
-    This is the Arrow-batch hot path: numpy overhead amortizes across the batch."""
+    """Batched :func:`split_sentences` — ONE vectorized pass over the pure-ASCII
+    documents (byte automaton) and ONE over the non-ASCII documents (codepoint
+    automaton). This is the Arrow-batch hot path: numpy overhead amortizes
+    across the batch; output is span-identical to the scalar automaton."""
     out: list[list[tuple[int, int]] | None] = [None] * len(texts)
     ascii_ids: list[int] = []
     ascii_texts: list[bytes] = []
+    na_ids: list[int] = []
+    na_texts: list[bytes] = []
     for i, t in enumerate(texts):
         if not t:
             out[i] = []
         elif (np.frombuffer(t, dtype=np.uint8) & 0x80).any():
-            out[i] = _split_sentences_scalar(t)
+            na_ids.append(i)
+            na_texts.append(t)
         else:
             ascii_ids.append(i)
             ascii_texts.append(t)
+    if na_texts:
+        doc_all, gs, ge, _blob = _split_nonascii_docs_byte_spans(na_texts)
+        na_lens = [len(t) for t in na_texts]
+        boff = np.zeros(len(na_lens), dtype=np.int64)
+        np.cumsum(np.asarray(na_lens[:-1], dtype=np.int64) + 1, out=boff[1:])
+        cuts = np.searchsorted(doc_all, np.arange(len(na_ids) + 1))
+        st_rel = (gs - boff[doc_all]).tolist()
+        ln_l = (ge - gs).tolist()
+        for j, gi in enumerate(na_ids):
+            lo, hi = cuts[j], cuts[j + 1]
+            out[gi] = list(zip(st_rel[lo:hi], ln_l[lo:hi]))
     if ascii_texts:
         arr = np.frombuffer(b"".join(ascii_texts), dtype=np.uint8)
         lens = np.fromiter((len(t) for t in ascii_texts), dtype=np.int64,
@@ -917,15 +1182,33 @@ def extract_units_batch(
     out: list[list[bytes] | None] = [None] * len(texts)
     ascii_ids: list[int] = []
     ascii_texts: list[bytes] = []
+    na_ids: list[int] = []
+    na_texts: list[bytes] = []
     for i, t in enumerate(texts):
         tt = t.translate(_WS_TO_SPACE)
         if not tt:
             out[i] = []
         elif (np.frombuffer(tt, dtype=np.uint8) & 0x80).any():
-            out[i] = extract_units(t, mode, max_length)  # scalar parity path
+            na_ids.append(i)
+            na_texts.append(tt)
         else:
             ascii_ids.append(i)
             ascii_texts.append(tt)
+    if na_texts:
+        # batched codepoint split (spans identical to the scalar automaton);
+        # per-span normalization shares the translate trick with the ASCII path
+        doc_all, gs, ge, nblob = _split_nonascii_docs_byte_spans(na_texts)
+        cuts = np.searchsorted(doc_all, np.arange(len(na_ids) + 1))
+        gs_l, ge_l = gs.tolist(), ge.tolist()
+        for j, gi in enumerate(na_ids):
+            units = []
+            for k in range(cuts[j], cuts[j + 1]):
+                u = b" ".join(nblob[gs_l[k]:ge_l[k]].split())
+                if max_length:
+                    u = u[:max_length]
+                if u:
+                    units.append(u)
+            out[gi] = units
     if not ascii_texts:
         return out  # type: ignore[return-value]
     blob = b"".join(ascii_texts)
@@ -980,6 +1263,74 @@ def _flatten_unit_lists(
     return doc_idx, unit_idx, np.frombuffer(blob, dtype=np.uint8), offsets
 
 
+def _assemble_units(
+    arr: np.ndarray, blob: bytes, doc_all: np.ndarray, gs: np.ndarray,
+    ge: np.ndarray, batch_ids: list[int], max_length: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Spans → normalized flat unit buffers (shared by the ASCII and UTF-8
+    batch paths of :func:`extract_units_batch_flat`).
+
+    ``arr``/``blob`` hold whitespace-translated text (every byte <= 0x20 is a
+    space), ``gs``/``ge`` are global byte spans, ``doc_all`` indexes
+    ``batch_ids``. Clean spans (no interior double space, no trailing space)
+    copy verbatim via one ragged gather; dirty spans re-normalize
+    individually."""
+    sp = arr == 0x20
+    dbl = np.flatnonzero(sp[:-1] & sp[1:])
+    dirty = (np.searchsorted(dbl, gs) != np.searchsorted(dbl, ge - 1)) \
+        | sp[np.maximum(ge - 1, 0)]
+    out_lens = (ge - gs).copy()
+    dirty_ids = np.flatnonzero(dirty)
+    dirty_bytes: list[bytes] = []
+    gs_l = gs[dirty_ids].tolist()
+    ge_l = ge[dirty_ids].tolist()
+    for a, b in zip(gs_l, ge_l):
+        u = b" ".join(blob[a:b].split())
+        dirty_bytes.append(u)
+    if dirty_ids.size:
+        out_lens[dirty_ids] = np.fromiter(
+            (len(u) for u in dirty_bytes), dtype=np.int64,
+            count=len(dirty_bytes))
+    if max_length:
+        np.minimum(out_lens, max_length, out=out_lens)
+    keep = out_lens > 0  # all-whitespace spans normalize to empty (P1/P2)
+    if not keep.all():
+        (doc_all, gs, ge, dirty, out_lens) = (
+            doc_all[keep], gs[keep], ge[keep], dirty[keep], out_lens[keep])
+        dirty_bytes = [u for j, u in zip(dirty_ids, dirty_bytes)
+                       if keep[j]]
+        dirty_ids = np.flatnonzero(dirty)
+    else:
+        dirty_ids = np.flatnonzero(dirty)
+    n_units = doc_all.shape[0]
+    offsets = np.zeros(n_units + 1, dtype=np.int64)
+    np.cumsum(out_lens, out=offsets[1:])
+    values = np.empty(int(offsets[-1]), dtype=np.uint8)
+    # vectorized ragged gather for the clean spans
+    clean = ~dirty
+    c_lens = out_lens[clean]
+    c_total = int(c_lens.sum())
+    if c_total:
+        c_dst0 = offsets[:-1][clean]
+        c_src0 = gs[clean]
+        pos = np.arange(c_total, dtype=np.int64)
+        cum = np.zeros(len(c_lens), dtype=np.int64)
+        np.cumsum(c_lens[:-1], out=cum[1:])
+        rel = pos - np.repeat(cum, c_lens)
+        values[np.repeat(c_dst0, c_lens) + rel] = \
+            arr[np.repeat(c_src0, c_lens) + rel]
+    for j, u in zip(dirty_ids.tolist(), dirty_bytes):
+        o = offsets[j]
+        values[o:o + out_lens[j]] = np.frombuffer(u[:out_lens[j]],
+                                                  dtype=np.uint8)
+    # per-doc unit positions
+    cuts = np.searchsorted(doc_all, np.arange(len(batch_ids) + 1))
+    unit_idx = np.arange(n_units, dtype=np.int64) - np.repeat(
+        cuts[:-1], np.diff(cuts))
+    doc_idx = np.asarray(batch_ids, dtype=np.int64)[doc_all]
+    return doc_idx, unit_idx, values, offsets
+
+
 def extract_units_batch_flat(
     texts: list[bytes], mode: str = "sentence", max_length: int = 0
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
@@ -989,9 +1340,10 @@ def extract_units_batch_flat(
     ``values[offsets[k]:offsets[k+1]]``, belonging to document ``doc_idx[k]`` at
     in-document position ``unit_idx[k]``. Row content is bit-identical to
     ``extract_units_batch`` (same kernels); ROW ORDER groups the pure-ASCII
-    documents first, then the scalar-path (non-ASCII) documents — downstream
-    consumers are order-free relational operators, and the per-doc
-    (doc_idx, unit_idx) pairs are identical.
+    documents first, then the non-ASCII documents (both fully vectorized —
+    ASCII over bytes, the rest over decoded codepoints) — downstream consumers
+    are order-free relational operators, and the per-doc (doc_idx, unit_idx)
+    pairs are identical.
 
     The point: the list-of-lists API materializes one Python bytes object per
     unit (~14M objects for 500k web docs) just so Arrow can re-serialize them;
@@ -1002,17 +1354,17 @@ def extract_units_batch_flat(
     if mode != "sentence":
         return _flatten_unit_lists(
             [extract_units(t, mode, max_length) for t in texts])
-    out_scalar: list[tuple[int, list[bytes]]] = []
     ascii_ids: list[int] = []
     ascii_texts: list[bytes] = []
+    na_ids: list[int] = []
+    na_texts: list[bytes] = []
     for i, t in enumerate(texts):
         tt = t.translate(_WS_TO_SPACE)
         if not tt:
             continue
         if (np.frombuffer(tt, dtype=np.uint8) & 0x80).any():
-            units = extract_units(t, mode, max_length)
-            if units:
-                out_scalar.append((i, units))
+            na_ids.append(i)
+            na_texts.append(tt)
         else:
             ascii_ids.append(i)
             ascii_texts.append(tt)
@@ -1027,67 +1379,17 @@ def extract_units_batch_flat(
         np.cumsum(lens[:-1], out=doc_off[1:])
         doc_all, st_loc, ln_all = _split_ascii_batch(arr, doc_off, doc_off + lens)
         gs = st_loc + doc_off[doc_all]
-        ge = gs + ln_all
-        sp = arr == 0x20
-        dbl = np.flatnonzero(sp[:-1] & sp[1:])
-        dirty = (np.searchsorted(dbl, gs) != np.searchsorted(dbl, ge - 1)) \
-            | sp[np.maximum(ge - 1, 0)]
-        # normalize dirty spans individually (minority); clean spans keep length
-        out_lens = (ge - gs).copy()
-        dirty_ids = np.flatnonzero(dirty)
-        dirty_bytes: list[bytes] = []
-        gs_l = gs[dirty_ids].tolist()
-        ge_l = ge[dirty_ids].tolist()
-        for a, b in zip(gs_l, ge_l):
-            u = b" ".join(blob[a:b].split())
-            dirty_bytes.append(u)
-        if dirty_ids.size:
-            out_lens[dirty_ids] = np.fromiter(
-                (len(u) for u in dirty_bytes), dtype=np.int64,
-                count=len(dirty_bytes))
-        if max_length:
-            np.minimum(out_lens, max_length, out=out_lens)
-        keep = out_lens > 0  # defensive: spans are non-empty by construction
-        if not keep.all():
-            (doc_all, gs, ge, dirty, out_lens) = (
-                doc_all[keep], gs[keep], ge[keep], dirty[keep], out_lens[keep])
-            dirty_bytes = [u for j, u in zip(dirty_ids, dirty_bytes)
-                           if keep[j]]
-            dirty_ids = np.flatnonzero(dirty)
-        else:
-            dirty_ids = np.flatnonzero(dirty)
-        n_units = doc_all.shape[0]
-        offsets = np.zeros(n_units + 1, dtype=np.int64)
-        np.cumsum(out_lens, out=offsets[1:])
-        values = np.empty(int(offsets[-1]), dtype=np.uint8)
-        # vectorized ragged gather for the clean spans
-        clean = ~dirty
-        c_lens = out_lens[clean]
-        c_total = int(c_lens.sum())
-        if c_total:
-            c_dst0 = offsets[:-1][clean]
-            c_src0 = gs[clean]
-            pos = np.arange(c_total, dtype=np.int64)
-            cum = np.zeros(len(c_lens), dtype=np.int64)
-            np.cumsum(c_lens[:-1], out=cum[1:])
-            rel = pos - np.repeat(cum, c_lens)
-            values[np.repeat(c_dst0, c_lens) + rel] = \
-                arr[np.repeat(c_src0, c_lens) + rel]
-        for j, u in zip(dirty_ids.tolist(), dirty_bytes):
-            o = offsets[j]
-            values[o:o + out_lens[j]] = np.frombuffer(u[:out_lens[j]],
-                                                      dtype=np.uint8)
-        # per-doc unit positions
-        cuts = np.searchsorted(doc_all, np.arange(len(ascii_ids) + 1))
-        unit_idx = np.arange(n_units, dtype=np.int64) - np.repeat(
-            cuts[:-1], np.diff(cuts))
-        doc_idx = np.asarray(ascii_ids, dtype=np.int64)[doc_all]
-        parts.append((doc_idx, unit_idx, values, offsets))
-    if out_scalar:
-        d, u, v, o = _flatten_unit_lists([units for _, units in out_scalar])
-        ids = np.fromiter((i for i, _ in out_scalar), dtype=np.int64,
-                          count=len(out_scalar))
-        parts.append((ids[d], u, v, o))
+        parts.append(_assemble_units(
+            arr, blob, doc_all, gs, gs + ln_all, ascii_ids, max_length))
+    if na_texts:
+        # non-ASCII docs: batched codepoint split (same translate trick — every
+        # byte <= 0x20 is already a space, so byte-level normalization below is
+        # valid, and the translate changes no span: whitespace-class and
+        # letter-class membership are preserved byte-for-byte)
+        doc_all, gs, ge, blob = _split_nonascii_docs_byte_spans(na_texts)
+        arr = np.frombuffer(blob, dtype=np.uint8)
+        parts.append(_assemble_units(
+            arr, blob, doc_all, gs, ge, na_ids, max_length))
     if not parts:
         z = np.empty(0, dtype=np.int64)
         return z, z.copy(), np.empty(0, dtype=np.uint8), np.zeros(1, np.int64)

@@ -208,3 +208,32 @@ def test_window_hashes_mod61_match_horner(text, window):
     for s in range(n - window):
         if np.array_equal(cps[s:s + window], cps[s + 1:s + 1 + window]):
             assert got[s] == got[s + 1]
+
+
+# unicode-dense splitter fuzz: terminators/closers/ws/invalid bytes at high
+# density exercise every branch of the codepoint batch automaton
+_UNI_ALPHABET = st.sampled_from(
+    list("ab cz.!?\"')]}。？！…؟｡」»"
+         "’  　д文z ")
+    + ["mr.", "etc.", "st. "]
+)
+
+
+@given(st.lists(st.lists(_UNI_ALPHABET, max_size=40).map("".join), max_size=6),
+       st.sampled_from([0, 7]))
+@settings(max_examples=300, deadline=None)
+def test_unicode_dense_batch_matches_scalar(texts, max_length):
+    raw = [t.encode("utf-8") for t in texts]
+    # inject invalid bytes deterministically
+    raw = [b"\x80" + t + b"\xc3" if i % 3 == 0 else t
+           for i, t in enumerate(raw)]
+    assert kernel.extract_units_batch(raw, "sentence", max_length) == \
+        [kernel.extract_units(t, "sentence", max_length) for t in raw]
+    d, u, v, o = kernel.extract_units_batch_flat(raw, "sentence", max_length)
+    got = {}
+    for k in range(len(d)):
+        got.setdefault(int(d[k]), []).append((int(u[k]), bytes(v[o[k]:o[k + 1]])))
+    for i, units in enumerate(kernel.extract_units_batch(raw, "sentence",
+                                                         max_length)):
+        mine = [b for _, b in sorted(got.get(i, []))]
+        assert mine == units
