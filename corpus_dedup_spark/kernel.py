@@ -688,17 +688,18 @@ def _split_cp_batch(
 
 def _split_nonascii_docs_byte_spans(
     texts: list[bytes],
-) -> tuple[np.ndarray, np.ndarray, np.ndarray, bytes]:
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, bytes, np.ndarray]:
     """Batched codepoint-split of non-ASCII docs → per-doc BYTE spans.
 
-    Returns ``(doc_idx, byte_start_global, byte_end_global, blob)`` where the
-    offsets index ``blob`` = texts joined by a single NUL separator. The NUL is
-    ASCII and non-continuation, so the one-shot vectorized decode of the whole
-    blob cannot merge sequences across document boundaries; per-doc clamps in
-    :func:`_split_cp_batch` keep the separator itself out of every span."""
+    Returns ``(doc_idx, byte_start_global, byte_end_global, blob, doc_boff)``
+    where the offsets index ``blob`` = texts joined by a single NUL separator
+    and ``doc_boff[i]`` is document i's byte offset in the blob (the single
+    source of the separator arithmetic). The NUL is ASCII and non-continuation,
+    so the one-shot vectorized decode of the whole blob cannot merge sequences
+    across document boundaries; per-doc clamps in :func:`_split_cp_batch` keep
+    the separator itself out of every span."""
     blob = b"\x00".join(texts)
-    arr = np.frombuffer(blob, dtype=np.uint8)
-    cps, bpos = _utf8_decode_vec_pos(arr)
+    cps, bpos = utf8_decode_buffer_pos(blob)
     lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=len(texts))
     doc_boff = np.zeros(len(lens), dtype=np.int64)
     np.cumsum(lens[:-1] + 1, out=doc_boff[1:])  # +1 per NUL separator
@@ -710,7 +711,7 @@ def _split_nonascii_docs_byte_spans(
     g0 = cp_off[doc_all] + st_loc
     gs = bpos_ext[g0]
     ge = bpos_ext[g0 + ln_cp]
-    return doc_all, gs, ge, blob
+    return doc_all, gs, ge, blob, doc_boff
 
 
 def split_sentences_batch(texts: list[bytes]) -> list[list[tuple[int, int]]]:
@@ -733,10 +734,7 @@ def split_sentences_batch(texts: list[bytes]) -> list[list[tuple[int, int]]]:
             ascii_ids.append(i)
             ascii_texts.append(t)
     if na_texts:
-        doc_all, gs, ge, _blob = _split_nonascii_docs_byte_spans(na_texts)
-        na_lens = [len(t) for t in na_texts]
-        boff = np.zeros(len(na_lens), dtype=np.int64)
-        np.cumsum(np.asarray(na_lens[:-1], dtype=np.int64) + 1, out=boff[1:])
+        doc_all, gs, ge, _blob, boff = _split_nonascii_docs_byte_spans(na_texts)
         cuts = np.searchsorted(doc_all, np.arange(len(na_ids) + 1))
         st_rel = (gs - boff[doc_all]).tolist()
         ln_l = (ge - gs).tolist()
@@ -1045,7 +1043,22 @@ def window_hashes(
 # ---------------------------------------------------------------------------
 
 MERSENNE61 = (1 << 61) - 1
-MOD61_BASE = 131          # any base in (0, p); small keeps pow tables cheap
+MOD61_BASE = 131          # default base; tests/fixed configs. See mod61_base_from_seed.
+
+
+def mod61_base_from_seed(seed: int) -> int:
+    """Derive a mod-(2^61-1) polynomial base from a run seed (splitmix64 mix).
+
+    The Schwartz–Zippel collision bound (≤ degree/p per pair) holds for a base
+    drawn at random AFTER the input is fixed; a hardcoded base is in principle
+    constructible-against. Deployments should derive the base from a per-run
+    seed (run id, date) so adversarial boilerplate cannot target it; any fixed
+    seed keeps results deterministic within the run, which resume requires."""
+    z = (seed + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    z ^= z >> 31
+    return 2 + z % (MERSENNE61 - 3)  # uniform in [2, p-2]
 _P61 = np.uint64(MERSENNE61)
 _M29 = np.uint64((1 << 29) - 1)
 _M32 = np.uint64(0xFFFFFFFF)
@@ -1197,7 +1210,7 @@ def extract_units_batch(
     if na_texts:
         # batched codepoint split (spans identical to the scalar automaton);
         # per-span normalization shares the translate trick with the ASCII path
-        doc_all, gs, ge, nblob = _split_nonascii_docs_byte_spans(na_texts)
+        doc_all, gs, ge, nblob, _boff = _split_nonascii_docs_byte_spans(na_texts)
         cuts = np.searchsorted(doc_all, np.arange(len(na_ids) + 1))
         gs_l, ge_l = gs.tolist(), ge.tolist()
         for j, gi in enumerate(na_ids):
@@ -1386,7 +1399,7 @@ def extract_units_batch_flat(
         # byte <= 0x20 is already a space, so byte-level normalization below is
         # valid, and the translate changes no span: whitespace-class and
         # letter-class membership are preserved byte-for-byte)
-        doc_all, gs, ge, blob = _split_nonascii_docs_byte_spans(na_texts)
+        doc_all, gs, ge, blob, _boff = _split_nonascii_docs_byte_spans(na_texts)
         arr = np.frombuffer(blob, dtype=np.uint8)
         parts.append(_assemble_units(
             arr, blob, doc_all, gs, ge, na_ids, max_length))

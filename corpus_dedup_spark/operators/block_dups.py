@@ -17,7 +17,9 @@ content-compare verify would join two full document texts onto every candidate w
 the prime modulus restores the soundness a second mod-2^64 hash cannot (mod-2^64
 polynomial hashes share universal collision families — Thue–Morse ±1 difference
 patterns collide for every base — while over F_p a degree-d difference polynomial has
-≤ d roots, so P(false pair) ≤ W/2^61 per window against ANY fixed input).
+≤ d roots, so for a base chosen AFTER the input is fixed, P(false pair) ≤ W/2^61 per
+window by Schwartz–Zippel; hence the seed-derived base — pass a per-run ``seed`` so
+the base is not a constant an adversary can target).
 
 Scale: the fingerprint table is (docs × chars) rows — big but narrow
 (id, pos, whash, whash2); it is built flat in one mapInPandas pass (no explode stage).
@@ -38,11 +40,16 @@ from corpus_dedup_spark import kernel
 
 def build_dual_fingerprint_index(pages: DataFrame, window: int,
                                  id_col: str = "url",
-                                 text_col: str = "text") -> DataFrame:
+                                 text_col: str = "text",
+                                 seed: int = 0) -> DataFrame:
     """(id, pos, whash, whash2) for every codepoint window: whash is the
     reference's search hash (base 1315423911, cp+1, mod 2^64), whash2 the
-    Mersenne-61 hash. One decode + both prefix tables per doc, rows emitted flat
-    (no JVM explode stage)."""
+    Mersenne-61 hash with a SEED-DERIVED base (the Schwartz–Zippel bound holds
+    for a base chosen after the input is fixed — pass a per-run seed so
+    adversarial boilerplate cannot be crafted against a published constant;
+    any fixed seed stays deterministic within the run for resume). One decode +
+    both prefix tables per doc, rows emitted flat (no JVM explode stage)."""
+    base2 = kernel.mod61_base_from_seed(seed)
 
     def gen(batches):
         for pdf in batches:
@@ -58,7 +65,7 @@ def build_dual_fingerprint_index(pages: DataFrame, window: int,
                     cps, kernel.SEARCH_HASH_BASE, add=1)
                 with np.errstate(over="ignore"):
                     w1 = prefix[window:] - prefix[:-window] * pow_[window]
-                S, pw = kernel.rolling_prefix_mod61(cps, add=1)
+                S, pw = kernel.rolling_prefix_mod61(cps, base2, add=1)
                 starts = np.arange(n - window + 1, dtype=np.int64)
                 w2 = kernel.window_hashes_mod61(
                     S, pw, starts, np.full(starts.size, window, np.int64))
@@ -85,7 +92,7 @@ def build_dual_fingerprint_index(pages: DataFrame, window: int,
 
 def shared_block_pairs(pages: DataFrame, window: int = 64, stride: int = 1,
                        max_group: int = 2000, id_col: str = "url",
-                       text_col: str = "text") -> DataFrame:
+                       text_col: str = "text", seed: int = 0) -> DataFrame:
     """Pairs of documents sharing at least one verified W-codepoint block:
     (id_a, id_b, n_shared_windows).
 
@@ -93,7 +100,8 @@ def shared_block_pairs(pages: DataFrame, window: int = 64, stride: int = 1,
     independent window hashes (see module docstring) — no text column ever
     crosses a shuffle after the fingerprint pass.
     """
-    idx = build_dual_fingerprint_index(pages, window, id_col, text_col).persist()
+    idx = build_dual_fingerprint_index(
+        pages, window, id_col, text_col, seed=seed).persist()
     probe = idx if stride <= 1 else idx.filter(F.col("pos") % stride == 0)
 
     # cap pathological fingerprints (site boilerplate) — same skew treatment as the

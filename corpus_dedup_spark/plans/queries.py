@@ -732,10 +732,15 @@ def q_block_tree_access(spark, sf_dir):
 
 
 SQL_BLOCK_TREE_ACCESS = """
+WITH sq AS (  -- model the engine's newline squash (Q1): \\n and \\r become spaces
+  SELECT doc_id,
+         replace(replace(text, chr(10), ' '), chr(13), ' ') AS text
+  FROM documents
+)
 SELECT DISTINCT CAST(doc_id AS VARCHAR) AS doc_id,
        (g.i * 37) % length(text) AS pos,
        substr(text, ((g.i * 37) % length(text)) + 1, 1) AS ch
-FROM documents, (SELECT unnest(generate_series(0, 4)) AS i) g
+FROM sq, (SELECT unnest(generate_series(0, 4)) AS i) g
 WHERE length(text) > 0
 """
 

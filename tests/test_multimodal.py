@@ -20,9 +20,24 @@ def media(spark):
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
-def test_decode_stub_raises_without_fake(spark, media):
-    with pytest.raises(Exception, match="NotImplementedError|codec"):
-        extract_media_features(media, fake=False).collect()
+def test_real_decode_guarded(spark, media):
+    """fake=False behavior depends on executor codecs BY DESIGN: without Pillow
+    it raises the honest NotImplementedError; with Pillow, undecodable payloads
+    yield NULL features (bad media rows are data, not job failures)."""
+    try:
+        import PIL  # noqa: F401
+        have_pil = True
+    except ImportError:
+        have_pil = False
+    if not have_pil:
+        with pytest.raises(Exception, match="NotImplementedError|codec"):
+            extract_media_features(media, fake=False).collect()
+    else:
+        rows = {r["media_id"]: r for r in
+                extract_media_features(media, fake=False).collect()}
+        # fake PNG bytes fail Image.open → NULL features; fingerprints still real
+        assert rows["m1"]["features"] is None
+        assert rows["m1"]["content_hash"] == rows["m2"]["content_hash"]
 
 
 def test_fake_features_deterministic(spark, media):
