@@ -145,13 +145,18 @@ def main() -> None:
     t_exact = t_near = float("inf")
     for _ in range(repeats):
         p = fresh_pages()
+        # try/finally: an exception mid-leg must not leak AQE=off into every
+        # later measurement (restore the value read before the leg, not "true")
+        aqe_prev = spark.conf.get("spark.sql.adaptive.enabled")
         spark.conf.set("spark.sql.adaptive.enabled", "false")
-        t0 = time.time()
-        deduped, obs = run_exact_dedup_observed(p)
-        n_out = deduped.count()
-        stats_row = obs.get
-        t_exact = min(t_exact, time.time() - t0)
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        try:
+            t0 = time.time()
+            deduped, obs = run_exact_dedup_observed(p)
+            n_out = deduped.count()
+            stats_row = obs.get
+            t_exact = min(t_exact, time.time() - t0)
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
 
         p = fresh_pages()
         t0 = time.time()

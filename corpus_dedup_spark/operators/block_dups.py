@@ -38,6 +38,19 @@ from pyspark.sql import functions as F
 
 from corpus_dedup_spark import kernel
 
+
+def seed_from_run_id(run_id: str) -> int:
+    """Run-level seed for the Mersenne-61 verify base: hash the pipeline run id
+    (DedupPipeline.run_id) so the base is (a) unpredictable before the run — the
+    Schwartz–Zippel adversarial bound applies — and (b) deterministic WITHIN the
+    run, which checkpoint/resume requires (a resumed stage must reproduce the
+    same fingerprints)."""
+    h = 0xCBF29CE484222325
+    for b in run_id.encode("utf-8"):
+        h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
 def build_dual_fingerprint_index(pages: DataFrame, window: int,
                                  id_col: str = "url",
                                  text_col: str = "text",
@@ -99,6 +112,15 @@ def shared_block_pairs(pages: DataFrame, window: int = 64, stride: int = 1,
     stride subsamples the probe side; verification requires equality under both
     independent window hashes (see module docstring) — no text column ever
     crosses a shuffle after the fingerprint pass.
+
+    Seed contract, stated plainly: the Schwartz–Zippel ADVERSARIAL bound only
+    holds when the Mersenne-61 base is drawn after the input is fixed, i.e. when
+    the caller passes a per-run ``seed`` (use :func:`seed_from_run_id` with the
+    pipeline's run id). The default ``seed=0`` yields a fixed published base:
+    that configuration gives only the random-input collision bound (~W/2^61 per
+    window pair for non-crafted text), NOT the adversarial guarantee — crafted
+    boilerplate could in principle target the constant. Deterministic call sites
+    (the driver oracle query) accept this deliberately.
     """
     idx = build_dual_fingerprint_index(
         pages, window, id_col, text_col, seed=seed).persist()

@@ -211,13 +211,24 @@ def near_dup_edges(pages: DataFrame, cfg: DedupConfig, id_col: str = "url",
     only when the verified-pair table is too big to broadcast (cluster scale);
     when pairs broadcast — every local/bench shape — the extra full shuffle is
     pure cost (measured +~2 s on 50k docs/32 cores, the r2 bench regression).
-    Default: cfg.extra["prepartition_features"], else False.
+    Default: cfg.extra["prepartition_features"] if set, else KEYED ON THE MASTER —
+    off for single-JVM ``local[N]``, on for any multi-executor master (yarn, k8s,
+    standalone, local-cluster), so the 100 TB sizing table's assumption (features
+    shuffled once, both verify joins co-located) holds by default on a real
+    cluster without a config flag.
     """
     # ONE fused UDF pass; features feed both the band explode and the verify
     # join — materialize once (the persisted row is just a shingle blob + 32
     # band hashes, the cheap-to-cache representation).
     if prepartition_features is None:
-        prepartition_features = bool(cfg.extra.get("prepartition_features", False))
+        explicit = cfg.extra.get("prepartition_features")
+        if explicit is not None:
+            prepartition_features = bool(explicit)
+        else:
+            master = pages.sparkSession.conf.get("spark.master", "local[*]")
+            # "local-cluster[...]" does NOT match: it runs real executor JVMs
+            is_single_jvm = master == "local" or master.startswith("local[")
+            prepartition_features = not is_single_jvm
     features = doc_band_features(pages, cfg, id_col)
     if prepartition_features:
         features = features.repartition(id_col)

@@ -591,6 +591,9 @@ def q_shared_blocks(spark, sf_dir):
     from corpus_dedup_spark.operators.block_dups import shared_block_pairs
 
     docs = _docs_augmented(spark, sf_dir)
+    # default seed=0 on purpose: the oracle compare needs a deterministic base;
+    # this trades the adversarial Schwartz–Zippel bound for the random-input one
+    # (fine for driver data). Pipelines pass seed_from_run_id(run_id) instead.
     return shared_block_pairs(docs, window=32, id_col="doc_id")
 
 

@@ -5,17 +5,19 @@ pages: readStream over the pages table directory → the SAME extraction UDF →
 state-store-backed dedup on the normalized unit (the streaming analog of the global
 sentence set).
 
-State-lifetime contract (two modes):
-- ``bounded_state=False`` (default): plain ``dropDuplicates`` on norm_unit — exact
-  global first-wins, the SAME guarantee as the batch engine (existing callers keep
-  the semantics they signed up for). State grows with the distinct-unit count
-  (Spark only evicts dedup state when the event-time column is part of the key);
-  fine for bounded replays and finite backfills.
-- ``bounded_state=True`` (explicit opt-in): ``dropDuplicatesWithinWatermark`` —
-  Spark evicts a unit's state once the watermark passes its event time, so memory
-  is bounded; the trade is that a duplicate arriving later than the watermark
-  delay is RE-EMITTED. This is the scale-safe mode for a truly unbounded stream —
-  opt in deliberately, because it weakens the dedup guarantee.
+State-lifetime contract (two modes; ``bounded_state`` is REQUIRED — the default
+flip-flopped across reviews because neither mode is a safe silent choice, so the
+caller must pick one explicitly):
+- ``bounded_state=False``: plain ``dropDuplicates`` on norm_unit — exact global
+  first-wins, the SAME guarantee as the batch engine. State grows with the
+  distinct-unit count (Spark only evicts dedup state when the event-time column
+  is part of the key); fine for bounded replays and finite backfills, UNSAFE on
+  a truly unbounded stream.
+- ``bounded_state=True``: ``dropDuplicatesWithinWatermark`` — Spark evicts a
+  unit's state once the watermark passes its event time, so memory is bounded;
+  the trade is that a duplicate arriving later than the watermark delay is
+  RE-EMITTED. This is the scale-safe mode for a truly unbounded stream — it
+  weakens the dedup guarantee, so it too must be an explicit choice.
 
 At scale: state is hash-partitioned on norm_unit (same key as the batch shuffle);
 RocksDB state store keeps it off-heap.
@@ -32,7 +34,7 @@ from corpus_dedup_spark.functions.udfs import make_extract_units_udf
 def stream_unit_dedup(spark: SparkSession, input_dir: str, schema,
                       mode: str = "sentence", max_length: int = 0,
                       watermark: str = "1 hour",
-                      bounded_state: bool = False) -> DataFrame:
+                      *, bounded_state: bool) -> DataFrame:
     """Streaming keep-side units: (url, unit_idx, norm_unit, warc_ts), first-wins
     across micro-batches (see module docstring for the state-lifetime contract)."""
     extract = make_extract_units_udf(mode, max_length)
@@ -51,10 +53,13 @@ def stream_unit_dedup(spark: SparkSession, input_dir: str, schema,
 
 
 def run_stream_to_memory(spark: SparkSession, input_dir: str, schema,
-                         query_name: str = "stream_dedup", **kwargs):
+                         query_name: str = "stream_dedup",
+                         bounded_state: bool = False, **kwargs):
     """Test/demo harness: availableNow trigger drains existing files once into an
-    in-memory sink; returns the StreamingQuery."""
-    deduped = stream_unit_dedup(spark, input_dir, schema, **kwargs)
+    in-memory sink; returns the StreamingQuery. The harness drains a FINITE file
+    set, so exact dedup (bounded_state=False) is the sound harness default."""
+    deduped = stream_unit_dedup(spark, input_dir, schema,
+                                bounded_state=bounded_state, **kwargs)
     return (
         deduped.writeStream.format("memory")
         .queryName(query_name)
