@@ -47,6 +47,64 @@ DEFAULT_S = 2    # level-1 divisor (both reference call sites: src/dedup.c:526)
 DEFAULT_TAU = 2  # deeper-level divisor
 
 
+def _elect_leaders(cps: np.ndarray, cs: np.ndarray, cl: np.ndarray,
+                   h: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized leader election for one level's candidate blocks.
+
+    Semantics (identical to the reference's scan, src/block_tree_core.c:320-349,
+    411): blocks with EQUAL CONTENT form a class; the earliest start position is
+    the class leader (stays marked), later members become pointer nodes. Content
+    equality is decided by exact comparison — the (hash, length) grouping is only
+    a partitioner; a hash collision between different contents yields two
+    classes, never a wrong pointer (quirk Q6: never trust a hash alone).
+
+    Vectorization replaces the former per-group Python loop (a pathological doc
+    with MBs of one repeated block serialized in it): groups of size ≥ 2 are
+    batched by block length — a level has at most TWO distinct lengths (floor
+    division base and base+remainder) — and each batch gathers its members into
+    an (m, L) codepoint matrix whose exact content classes come from one
+    ``np.unique(axis=0, return_inverse)``. One lexsort per batch then assigns
+    every non-first member of a (group, content-class) run to its leader. Total
+    gather cost per level is O(Σ lengths) = O(n) memory, O(m·L·log m) compare —
+    the same worst case as the reference's memcmp chain, without Python in it."""
+    m_all = cs.size
+    marked = np.ones(m_all, bool)
+    target = np.full(m_all, -1, np.int64)
+    if m_all < 2:
+        return marked, target
+    order = np.lexsort((cs, cl, h))
+    oh, ol = h[order], cl[order]
+    new_grp = np.ones(order.size, bool)
+    new_grp[1:] = (oh[1:] != oh[:-1]) | (ol[1:] != ol[:-1])
+    gid_sorted = np.cumsum(new_grp) - 1
+    # keep only members of groups with ≥2 candidates
+    g_sizes = np.bincount(gid_sorted)
+    in_big = g_sizes[gid_sorted] >= 2
+    idxs = order[in_big]          # original candidate indices, grouped
+    gids = gid_sorted[in_big]
+    if idxs.size == 0:
+        return marked, target
+    lens = cl[idxs]
+    for L in np.unique(lens).tolist():
+        selL = lens == L
+        cand = idxs[selL]         # candidate indices with this length
+        grp = gids[selL]
+        starts = cs[cand]
+        mat = cps[starts[:, None] + np.arange(int(L), dtype=np.int64)[None, :]]
+        _, cid = np.unique(mat, axis=0, return_inverse=True)
+        o2 = np.lexsort((starts, cid, grp))
+        sg, sc = grp[o2], cid[o2]
+        first = np.ones(o2.size, bool)
+        first[1:] = (sg[1:] != sg[:-1]) | (sc[1:] != sc[:-1])
+        # leader start of each (group, class) run, propagated to the run's tail
+        run_id = np.cumsum(first) - 1
+        leader_start = starts[o2][first][run_id]
+        followers = o2[~first]
+        marked[cand[followers]] = False
+        target[cand[followers]] = leader_start[~first]
+    return marked, target
+
+
 def build_doc_tree(cps: np.ndarray, s: int = DEFAULT_S, tau: int = DEFAULT_TAU,
                    max_levels: int = 40) -> list[tuple]:
     """One document's tree as a list of per-level numpy tuples:
@@ -80,34 +138,7 @@ def build_doc_tree(cps: np.ndarray, s: int = DEFAULT_S, tau: int = DEFAULT_TAU,
         cs, cl = cs[keep], cl[keep]
         h = kernel.window_hashes(prefix, pow_, cs, cl)
 
-        # leader election: sort by (hash, length, start); within a (hash, length)
-        # group verify CONTENT equality against each earlier distinct leader —
-        # the reference's compare (src/block_tree_core.c:320-349), a worker-side
-        # memcmp here. A hash collision between different contents simply yields
-        # two leaders; reconstruction stays sound under adversarial text.
-        order = np.lexsort((cs, cl, h))
-        oh, ol = h[order], cl[order]
-        change = np.flatnonzero((oh[1:] != oh[:-1]) | (ol[1:] != ol[:-1])) + 1
-        g_starts = np.concatenate([[0], change])
-        g_ends = np.concatenate([change, [order.size]])
-        marked = np.ones(cs.size, bool)
-        target = np.full(cs.size, -1, np.int64)
-        for g0, g1 in zip(g_starts.tolist(), g_ends.tolist()):
-            if g1 - g0 < 2:
-                continue
-            idxs = order[g0:g1]  # ascending start within the group (lexsort)
-            L = int(cl[idxs[0]])
-            leaders = [int(idxs[0])]
-            for t in idxs[1:].tolist():
-                st = int(cs[t])
-                for ld in leaders:
-                    ls = int(cs[ld])
-                    if np.array_equal(cps[st:st + L], cps[ls:ls + L]):
-                        marked[t] = False
-                        target[t] = ls
-                        break
-                else:
-                    leaders.append(t)
+        marked, target = _elect_leaders(cps, cs, cl, h)
         out.append((level, cs, cl, h.view(np.int64), marked, target))
         f_starts, f_lens = cs[marked], cl[marked]
 
@@ -236,7 +267,15 @@ def sampled_access(pages: DataFrame, n_positions: int = 5,
     resolve the position through pointer nodes, and emit the character found
     there. A consistent tree returns exactly the original character, so the
     DuckDB oracle is ``substr(text, pos+1, 1)`` — the reference's own (dead)
-    self-check made live (src/dedup.c:535-551, src/block_tree_core.c:583-601)."""
+    self-check made live (src/dedup.c:535-551, src/block_tree_core.c:583-601).
+
+    SCOPE NOTE: this is an ORACLE/diagnostic query — it deliberately rebuilds
+    each doc's tree in the same pass that probes it, because the whole point is
+    to check build+access together, and the build is the cheap part at 5 probes
+    per doc. It is NOT the production access path: production stores the tree
+    table from :func:`build_block_tree` and resolves positions against the
+    stored rows (see :func:`query_access` for the row-level resolution), never
+    re-deriving the tree per lookup."""
 
     def gen(batches):
         for pdf in batches:

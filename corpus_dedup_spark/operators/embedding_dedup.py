@@ -79,8 +79,12 @@ def make_hyperplane_bucket_udf(dim: int, n_planes: int = 16, seed: int = 7,
 
 
 def _bucketed(vectors: DataFrame, n_planes: int, n_tables: int, seed: int,
-              id_col: str, vec_col: str) -> DataFrame:
-    dim = len(vectors.select(vec_col).first()[0])
+              id_col: str, vec_col: str, dim: int | None = None) -> DataFrame:
+    # dim should be passed by the caller (it is a property of the embedding
+    # model, not the data); the .first() probe is a fallback only — it is a
+    # 1-row driver action per call, pure latency on a busy cluster
+    if dim is None:
+        dim = len(vectors.select(vec_col).first()[0])
     bucket = make_hyperplane_bucket_udf(dim, n_planes, seed, n_tables)
     return vectors.select(
         F.col(id_col), F.col(vec_col),
@@ -90,11 +94,12 @@ def _bucketed(vectors: DataFrame, n_planes: int, n_tables: int, seed: int,
 
 def lsh_ann_topk(vectors: DataFrame, k: int = 10, n_planes: int = 12,
                  n_tables: int = 4, seed: int = 7,
-                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 dim: int | None = None) -> DataFrame:
     """Approximate all-pairs top-k: multi-table hyperplane buckets, exact cosine
     within buckets, candidates deduped across tables before scoring. Recall rises
     with n_tables and falls with n_planes (bucket granularity)."""
-    b = _bucketed(vectors, n_planes, n_tables, seed, id_col, vec_col)
+    b = _bucketed(vectors, n_planes, n_tables, seed, id_col, vec_col, dim)
     left = b.select("bucket", F.col(id_col).alias("probe_id"))
     right = b.select("bucket", F.col(id_col).alias("neighbor_id"))
     cand = (
@@ -122,11 +127,12 @@ def lsh_ann_topk(vectors: DataFrame, k: int = 10, n_planes: int = 12,
 
 def embedding_dup_pairs(vectors: DataFrame, threshold: float = 0.95,
                         n_planes: int = 10, n_tables: int = 4, seed: int = 7,
-                        id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        dim: int | None = None) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b, cosine ≥ threshold), multi-table
     LSH-bucketed. P(pair missed) = (1 - (1-θ/π)^n_planes)^n_tables — e.g. cosine 0.99
     with 10 planes × 4 tables misses < 1%."""
-    b = _bucketed(vectors, n_planes, n_tables, seed, id_col, vec_col)
+    b = _bucketed(vectors, n_planes, n_tables, seed, id_col, vec_col, dim)
     left = b.select("bucket", F.col(id_col).alias("id_a"))
     right = b.select("bucket", F.col(id_col).alias("id_b"))
     cand = (

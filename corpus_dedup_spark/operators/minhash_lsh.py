@@ -140,10 +140,32 @@ def candidate_pairs(bands_df: DataFrame, cfg: DedupConfig,
     return pairs, dropped
 
 
+def _inter_union_batch(blobs_a, blobs_b) -> tuple[np.ndarray, np.ndarray]:
+    """Per-pair (|A∩B|, |A∪B|) for a whole batch of sorted-unique-u64 blob pairs
+    in ONE vectorized pass (no per-pair Python): concatenate every pair's two
+    blobs into a single (pair_id, value) table and lexsort it. Within a pair
+    each side is sorted-unique, so an equal (pair, value) run has length ≤ 2 and
+    means "value on both sides" — count those runs per pair with one bincount.
+    O(B log B) for B total hashes per batch, independent of the pair count."""
+    n = len(blobs_a)
+    ba = [bytes(a or b"") for a in blobs_a]
+    bb = [bytes(b or b"") for b in blobs_b]
+    na = np.fromiter((len(a) for a in ba), np.int64, n) // 8
+    nb = np.fromiter((len(b) for b in bb), np.int64, n) // 8
+    vals = np.frombuffer(b"".join(ba) + b"".join(bb), np.uint64)
+    pid = np.concatenate([np.repeat(np.arange(n, dtype=np.int64), na),
+                          np.repeat(np.arange(n, dtype=np.int64), nb)])
+    order = np.lexsort((vals, pid))
+    sv, sp = vals[order], pid[order]
+    dup = (sv[1:] == sv[:-1]) & (sp[1:] == sp[:-1])
+    ni = np.bincount(sp[1:][dup], minlength=n).astype(np.int64)
+    return ni, na + nb - ni
+
+
 def _inter_union_udf():
     """(sh_a blob, sh_b blob) → struct(n_inter, n_union). Shingle blobs are
-    sorted-unique u64 (see make_features_udf), so the per-pair intersection is a
-    single sorted-merge count (np.intersect1d with assume_unique)."""
+    sorted-unique u64 (see make_features_udf); the whole Arrow batch is counted
+    in one vectorized lexsort pass (_inter_union_batch)."""
     from pyspark.sql.types import StructField, StructType
 
     schema = StructType([
@@ -153,15 +175,7 @@ def _inter_union_udf():
 
     @pandas_udf(schema)
     def inter_union(sa: pd.Series, sb: pd.Series) -> pd.DataFrame:
-        n = len(sa)
-        ni = np.zeros(n, dtype=np.int64)
-        nu = np.zeros(n, dtype=np.int64)
-        for i, (a, b) in enumerate(zip(sa, sb)):
-            va = np.frombuffer(a or b"", dtype=np.uint64)
-            vb = np.frombuffer(b or b"", dtype=np.uint64)
-            k = np.intersect1d(va, vb, assume_unique=True).size
-            ni[i] = k
-            nu[i] = va.size + vb.size - k
+        ni, nu = _inter_union_batch(sa, sb)
         return pd.DataFrame({"n_inter": ni, "n_union": nu})
 
     # The UDF is pure, but letting Catalyst treat it as deterministic allows the

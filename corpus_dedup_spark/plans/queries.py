@@ -20,6 +20,8 @@ from pyspark.sql import functions as F
 from corpus_dedup_spark.config import DedupConfig
 
 SEARCH_QUERY = "table scan"  # no self-overlap (no proper border) → replace-count oracle
+EMB_DIM = 64  # driver testdata embedding dim (TESTDATA.md); passed explicitly so
+              # the LSH bucketer never runs a 1-row .first() probe per call
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -694,7 +696,7 @@ def q_embedding_ann(spark, sf_dir):
     from corpus_dedup_spark.operators.embedding_dedup import lsh_ann_topk
 
     emb = _embeddings(spark, sf_dir)
-    return lsh_ann_topk(emb, k=3, n_planes=8, n_tables=2)
+    return lsh_ann_topk(emb, k=3, n_planes=8, n_tables=2, dim=EMB_DIM)
 
 
 def q_media_features(spark, sf_dir):

@@ -237,3 +237,83 @@ def test_unicode_dense_batch_matches_scalar(texts, max_length):
                                                          max_length)):
         mine = [b for _, b in sorted(got.get(i, []))]
         assert mine == units
+
+
+# --- vectorized batch ops ≡ scalar oracles -------------------------------------
+
+@given(st.lists(st.tuples(
+    st.sets(st.integers(0, 2**64 - 1), max_size=40),
+    st.sets(st.integers(0, 2**64 - 1), max_size=40),
+    st.sets(st.integers(0, 2**64 - 1), max_size=12),  # forced-shared values
+), max_size=12))
+@settings(max_examples=200, deadline=None)
+def test_inter_union_batch_matches_naive(pairs):
+    """The one-lexsort batched |A∩B|/|A∪B| (minhash_lsh._inter_union_batch)
+    equals per-pair np.intersect1d for arbitrary sorted-unique u64 sets."""
+    from corpus_dedup_spark.operators.minhash_lsh import _inter_union_batch
+
+    blobs_a, blobs_b = [], []
+    for a, b, shared in pairs:
+        va = np.array(sorted(a | shared), dtype=np.uint64)
+        vb = np.array(sorted(b | shared), dtype=np.uint64)
+        blobs_a.append(va.tobytes() if va.size else None)
+        blobs_b.append(vb.tobytes())
+    ni, nu = _inter_union_batch(blobs_a, blobs_b)
+    assert len(ni) == len(pairs)
+    for i, (a, b, shared) in enumerate(pairs):
+        A, B = a | shared, b | shared
+        assert ni[i] == len(A & B)
+        assert nu[i] == len(A | B)
+
+
+def _elect_leaders_naive(cps, cs, cl, h):
+    """The r3 per-group Python election (reference scan semantics,
+    src/block_tree_core.c:320-349) kept as the property-test oracle."""
+    order = np.lexsort((cs, cl, h))
+    oh, ol = h[order], cl[order]
+    change = np.flatnonzero((oh[1:] != oh[:-1]) | (ol[1:] != ol[:-1])) + 1
+    g_starts = np.concatenate([[0], change]) if order.size else np.array([], np.int64)
+    g_ends = np.concatenate([change, [order.size]]) if order.size else g_starts
+    marked = np.ones(cs.size, bool)
+    target = np.full(cs.size, -1, np.int64)
+    for g0, g1 in zip(g_starts.tolist(), g_ends.tolist()):
+        if g1 - g0 < 2:
+            continue
+        idxs = order[g0:g1]
+        L = int(cl[idxs[0]])
+        leaders = [int(idxs[0])]
+        for t in idxs[1:].tolist():
+            st_ = int(cs[t])
+            for ld in leaders:
+                ls = int(cs[ld])
+                if np.array_equal(cps[st_:st_ + L], cps[ls:ls + L]):
+                    marked[t] = False
+                    target[t] = ls
+                    break
+            else:
+                leaders.append(t)
+    return marked, target
+
+
+@given(st.text(alphabet="abABé", min_size=0, max_size=120),
+       st.integers(2, 16), st.integers(1, 4))
+@settings(max_examples=200, deadline=None)
+def test_elect_leaders_matches_naive(text, window, stride):
+    """Vectorized leader election (block_tree._elect_leaders) ≡ the per-group
+    scan, including under FORCED hash collisions (h mod 3): content compare,
+    not the hash, must decide classes — quirk Q6."""
+    from corpus_dedup_spark.operators.block_tree import _elect_leaders
+
+    cps = kernel.utf8_decode_buffer(text.encode("utf-8"))
+    n = len(cps)
+    if n < window:
+        return
+    prefix, pow_ = kernel.rolling_prefix(cps, kernel.BLOCK_HASH_BASE)
+    cs = np.arange(0, n - window + 1, stride, dtype=np.int64)
+    cl = np.full(cs.size, window, np.int64)
+    h = kernel.window_hashes(prefix, pow_, cs, cl) % np.uint64(3)
+    got_m, got_t = _elect_leaders(cps, cs, cl, h)
+    exp_m, exp_t = _elect_leaders_naive(cps, cs, cl, h)
+    assert np.array_equal(got_m, exp_m)
+    # both store the leader's START POSITION in target
+    assert np.array_equal(got_t, exp_t)
