@@ -668,11 +668,27 @@ def q_lsh_candidates(spark, sf_dir):
 
 
 def q_sentence_dedup_pages(spark, sf_dir):
-    """The flagship reference pipeline (sentence mode) on documents-as-pages."""
+    """The flagship reference pipeline (sentence mode) on documents-as-pages —
+    oracle-backed as of r4: same degenerate-input argument as sentence_dedup_docs
+    (driver text has no terminators ⇒ one unit per page), with the url mapping
+    reproduced in SQL, so the pages-schema entry point is value-checked too."""
     from corpus_dedup_spark.operators.exact_dedup import run_exact_dedup
 
     _marked, deduped, _stats = run_exact_dedup(_docs_as_pages(spark, sf_dir))
-    return deduped
+    return deduped.select("url", "dedup_text", "n_units")
+
+
+SQL_SENTENCE_DEDUP_PAGES = """
+WITH pages AS (
+  SELECT 'doc://' || source || '/' || CAST(doc_id AS VARCHAR) AS url, text
+  FROM documents
+)
+SELECT url, text AS dedup_text, CAST(1 AS BIGINT) AS n_units
+FROM (SELECT url, text,
+             row_number() OVER (PARTITION BY text ORDER BY url) AS rn
+      FROM pages) t
+WHERE rn = 1
+"""
 
 
 def q_simhash(spark, sf_dir):
@@ -701,10 +717,14 @@ def q_embedding_ann(spark, sf_dir):
 
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing over synthetic media derived from documents (payload =
-    utf-8 text bytes; deterministic fake decoder)."""
+    utf-8 text bytes; deterministic fake decoder). Oracle-backed as of r4:
+    n_bytes comes out of the REAL mapInPandas pass (value-checks the batch
+    plumbing), content_md5 is md5 over the same payload bytes on both engines.
+    The doc_id<200 filter replaces r3's limit(200) — LIMIT without ORDER is not
+    a deterministic row set, so it could never be value-checked."""
     from corpus_dedup_spark.multimodal.ops import extract_media_features
 
-    docs = _docs(spark, sf_dir).limit(200)
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
     media = docs.select(
         F.concat(F.lit("m"), F.col("doc_id").cast("string")).alias("media_id"),
         F.lit("image").alias("kind"),
@@ -714,7 +734,98 @@ def q_media_features(spark, sf_dir):
         F.lit(64).cast("long").alias("height"),
         F.lit(None).cast("long").alias("duration_ms"),
     )
-    return extract_media_features(media, fake=True).drop("features")
+    feats = extract_media_features(media, fake=True).drop("features", "content_hash")
+    sidecar = media.select("media_id", F.md5(F.col("payload")).alias("content_md5"))
+    return feats.join(sidecar, "media_id")
+
+
+SQL_MEDIA_FEATURES = """
+SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id,
+       'image' AS kind,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents WHERE doc_id < 200
+"""
+
+
+def q_embedding_ann_floor(spark, sf_dir):
+    """Recall floor for the LSH ANN leg (the one LLM op with no value check in
+    r3): plant an exact copy of every 10th embedding (vec_id + 1e6); an identical
+    vector lands in the SAME bucket in EVERY hyperplane table, so the LSH
+    candidate is guaranteed, and cosine(v, v) is the maximum any neighbor can
+    score, so the source must be the copy's rank-1 neighbor. Output = the planted
+    relation recovered from lsh_ann_topk; any bucketing/scoring/ranking
+    regression drops rows and turns the oracle red (same pattern as
+    lsh_exact_floor floors the MinHash leg)."""
+    from corpus_dedup_spark.operators.embedding_dedup import lsh_ann_topk
+
+    emb = _embeddings(spark, sf_dir).select("vec_id", "embedding")
+    copies = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+    aug = emb.unionByName(copies)
+    ann = lsh_ann_topk(aug, k=3, n_planes=8, n_tables=2, dim=EMB_DIM)
+    return (
+        ann.filter((F.col("probe_id") >= 1_000_000) & (F.col("rank") == 1)
+                   & (F.col("neighbor_id") == F.col("probe_id") - 1_000_000))
+        .select("probe_id", "neighbor_id")
+    )
+
+
+SQL_EMBEDDING_ANN_FLOOR = """
+SELECT vec_id + 1000000 AS probe_id, vec_id AS neighbor_id
+FROM embeddings WHERE vec_id % 10 = 0
+"""
+
+
+def q_minhash_sig_floor(spark, sf_dir):
+    """Structural floor for the signature stage (H5): identical text ⇒ identical
+    shingle set ⇒ identical OPH MinHash signature, bit for bit. Output = the
+    planted copy relation filtered on byte-equal sig blobs, so any
+    non-determinism or drift in extraction/shingling/minhash turns this red."""
+    from corpus_dedup_spark.operators.minhash_lsh import doc_features
+
+    cfg = DedupConfig()
+    feats = doc_features(_docs_augmented(spark, sf_dir), cfg, id_col="doc_id")
+    orig = feats.filter(F.col("doc_id") < 1_000_000).select(
+        F.col("doc_id"), F.col("sig").alias("sig_o"))
+    copy = feats.filter(F.col("doc_id") >= 1_000_000).select(
+        (F.col("doc_id") - 1_000_000).alias("doc_id"),
+        (F.col("doc_id")).alias("copy_id"), F.col("sig").alias("sig_c"))
+    return (
+        orig.join(copy, "doc_id")
+        .filter(F.col("sig_o") == F.col("sig_c"))
+        .select("doc_id", "copy_id")
+    )
+
+
+SQL_MINHASH_SIG_FLOOR = """
+SELECT doc_id, doc_id + 1000000 AS copy_id
+FROM documents WHERE doc_id % 20 = 0
+"""
+
+
+def q_simhash_floor(spark, sf_dir):
+    """Same structural floor for SimHash: identical text ⇒ identical 64-bit
+    simhash. Upgrades the r3 rows-only simhash entry with a value check."""
+    from corpus_dedup_spark.functions.udfs import (make_extract_units_udf,
+                                                   simhash_udf)
+
+    extract = make_extract_units_udf()
+    sh = _docs_augmented(spark, sf_dir).select(
+        "doc_id", simhash_udf(extract(F.col("text"))).alias("simhash"))
+    orig = sh.filter(F.col("doc_id") < 1_000_000).select(
+        "doc_id", F.col("simhash").alias("sh_o"))
+    copy = sh.filter(F.col("doc_id") >= 1_000_000).select(
+        (F.col("doc_id") - 1_000_000).alias("doc_id"),
+        F.col("doc_id").alias("copy_id"), F.col("simhash").alias("sh_c"))
+    return (
+        orig.join(copy, "doc_id")
+        .filter(F.col("sh_o") == F.col("sh_c"))
+        .select("doc_id", "copy_id")
+    )
+
+
+SQL_SIMHASH_FLOOR = SQL_MINHASH_SIG_FLOOR
 
 
 def q_block_tree_stats(spark, sf_dir):
@@ -763,7 +874,28 @@ def q_text_profile_ints(spark, sf_dir):
     )
 
 
+def q_text_profile_ratios(spark, sf_dir):
+    """Value-checked float slice of text_profile: each ratio is scaled to parts-
+    per-million and floored — both engines compute the same IEEE-754 double
+    (integer inputs, one division, one multiply), so the floor is identical;
+    emitting BIGINT sidesteps the float-repr hashing trap. quality×8 is an
+    integral double by construction (four terms in {0, .5, 1}, /4), so its cast
+    is exact on both sides. With text_profile_ints this value-checks every
+    text_profile column except lang_pred and the xxhash fingerprint."""
+    from corpus_dedup_spark.functions.text import text_profile
+
+    prof = text_profile(_docs(spark, sf_dir).select("doc_id", "text"))
+    ppm = lambda c: F.floor(F.col(c) * 1_000_000).alias(c + "_ppm")  # noqa: E731
+    return prof.select(
+        "doc_id",
+        ppm("alpha_ratio"), ppm("digit_ratio"), ppm("punct_ratio"),
+        ppm("mean_word_len"), ppm("stopword_ratio"),
+        (F.col("quality") * 8).cast("long").alias("quality_x8"),
+    )
+
+
 _WS_TOKENS_SQL = "len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))"
+_PUNCT_CLASS_SQL = """[\\.,;:!\\?"''()\\[\\]{}]"""  # '' = escaped quote in SQL
 _EN_MARKER_SQL = " + ".join(
     "(length(' ' || lower(text) || ' ') - "
     f"length(replace(' ' || lower(text) || ' ', '{m}', ''))) / {len(m)}"
@@ -777,6 +909,75 @@ SELECT doc_id,
            AS n_tokens_bpe,
        CAST({_EN_MARKER_SQL} AS BIGINT) AS en_stop_hits
 FROM documents
+"""
+
+
+SQL_TEXT_PROFILE_RATIOS = f"""
+WITH f AS (
+  SELECT doc_id,
+         length(text) AS n,
+         length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_alpha,
+         length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+         length(text) - length(regexp_replace(text, '{_PUNCT_CLASS_SQL}', '', 'g')) AS n_punct,
+         length(text) - length(replace(text, ' ', '')) AS n_space,
+         {_WS_TOKENS_SQL} AS n_words,
+         CAST({_EN_MARKER_SQL} AS BIGINT) AS stop_hits
+  FROM documents
+),
+r AS (
+  SELECT doc_id, n,
+         n_alpha / greatest(n, 1) AS alpha_ratio,
+         n_digit / greatest(n, 1) AS digit_ratio,
+         n_punct / greatest(n, 1) AS punct_ratio,
+         (n - n_space) / greatest(n_words, 1) AS mean_word_len,
+         stop_hits / greatest(n_words, 1) AS stopword_ratio
+  FROM f
+)
+SELECT doc_id,
+       CAST(floor(alpha_ratio * 1000000) AS BIGINT) AS alpha_ratio_ppm,
+       CAST(floor(digit_ratio * 1000000) AS BIGINT) AS digit_ratio_ppm,
+       CAST(floor(punct_ratio * 1000000) AS BIGINT) AS punct_ratio_ppm,
+       CAST(floor(mean_word_len * 1000000) AS BIGINT) AS mean_word_len_ppm,
+       CAST(floor(stopword_ratio * 1000000) AS BIGINT) AS stopword_ratio_ppm,
+       CAST((CASE WHEN n >= 200 AND n <= 100000 THEN 1.0
+                  WHEN n >= 50 THEN 0.5 ELSE 0.0 END
+           + CASE WHEN alpha_ratio >= 0.6 THEN 1.0
+                  WHEN alpha_ratio >= 0.4 THEN 0.5 ELSE 0.0 END
+           + CASE WHEN stopword_ratio >= 0.05 THEN 1.0
+                  WHEN stopword_ratio > 0 THEN 0.5 ELSE 0.0 END
+           + CASE WHEN mean_word_len >= 3 AND mean_word_len <= 12 THEN 1.0
+                  ELSE 0.0 END) * 2 AS BIGINT) AS quality_x8
+FROM r
+"""
+
+
+def q_block_tree_level1(spark, sf_dir):
+    """Value oracle for the leader election itself (J2, the scan vectorized in
+    r4): at level 1 a doc of n ≥ 2 codepoints splits into exactly two children
+    (lengths n//2 and n-n//2); the second child is a POINTER iff n is even and
+    the two halves are equal as CONTENT — which DuckDB can decide with substr
+    equality, no hashes involved. Any election bug (hash-trusting, wrong leader
+    order, off-by-one in the split) flips n_pointers and turns this red."""
+    from corpus_dedup_spark.operators.block_tree import build_block_tree
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    tree = build_block_tree(docs, id_col="doc_id", text_col="text")
+    return (
+        tree.filter(F.col("level") == 1)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_l1_nodes"),
+             F.count_if(~F.col("is_marked")).alias("n_l1_pointers"))
+    )
+
+
+SQL_BLOCK_TREE_LEVEL1 = """
+SELECT doc_id,
+       CAST(2 AS BIGINT) AS n_l1_nodes,
+       CAST(CASE WHEN length(text) % 2 = 0
+                  AND substr(text, 1, length(text) // 2)
+                      = substr(text, length(text) // 2 + 1, length(text) // 2)
+                 THEN 1 ELSE 0 END AS BIGINT) AS n_l1_pointers
+FROM documents WHERE length(text) >= 2
 """
 
 
@@ -809,14 +1010,21 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shared_blocks": q_shared_blocks,
     "block_tree_access": q_block_tree_access,  # oracle-backed as of r3
     "text_profile_ints": q_text_profile_ints,  # oracle-backed as of r3
-    # rows-only (non-SQL-expressible stages)
+    # oracle-backed as of r4
+    "sentence_dedup_pages": q_sentence_dedup_pages,
+    "media_features": q_media_features,
+    "embedding_ann_floor": q_embedding_ann_floor,
+    "minhash_sig_floor": q_minhash_sig_floor,
+    "simhash_floor": q_simhash_floor,
+    "text_profile_ratios": q_text_profile_ratios,
+    "block_tree_level1": q_block_tree_level1,
+    # rows-only (non-SQL-expressible stages; each now has a green floor/slice
+    # companion above except lsh_candidates, whose floor is lsh_exact_floor)
     "minhash_signatures": q_minhash_signatures,
     "lsh_candidates": q_lsh_candidates,
-    "sentence_dedup_pages": q_sentence_dedup_pages,
     "simhash": q_simhash,
     "text_profile": q_text_profile,
     "embedding_ann": q_embedding_ann,
-    "media_features": q_media_features,
     "block_tree_stats": q_block_tree_stats,
 }
 
@@ -845,4 +1053,11 @@ ORACLES: dict[str, str] = {
     "shared_blocks": SQL_SHARED_BLOCKS,
     "block_tree_access": SQL_BLOCK_TREE_ACCESS,
     "text_profile_ints": SQL_TEXT_PROFILE_INTS,
+    "sentence_dedup_pages": SQL_SENTENCE_DEDUP_PAGES,
+    "media_features": SQL_MEDIA_FEATURES,
+    "embedding_ann_floor": SQL_EMBEDDING_ANN_FLOOR,
+    "minhash_sig_floor": SQL_MINHASH_SIG_FLOOR,
+    "simhash_floor": SQL_SIMHASH_FLOOR,
+    "text_profile_ratios": SQL_TEXT_PROFILE_RATIOS,
+    "block_tree_level1": SQL_BLOCK_TREE_LEVEL1,
 }
