@@ -94,26 +94,54 @@ def cmd_verify(args) -> int:
     return 0 if dups == 0 else 1
 
 
-def cmd_search(args) -> int:
+def _run_one_search(spark, pages, query: str, limit: int, idx_cache: dict) -> None:
     from corpus_dedup_spark import kernel
     from corpus_dedup_spark.operators.search import (build_fingerprint_index,
                                                      search, search_report,
                                                      with_line_col)
 
-    spark = _session(args.cores)
-    pages = _apply_mask(_as_pages(spark.read.parquet(args.input)), args.mask)
-    qlen = len(kernel.utf8_decode_buffer(args.query.encode()))
+    qlen = len(kernel.utf8_decode_buffer(query.encode()))
+    if qlen == 0:
+        print("empty query")
+        return
     t0 = time.time()
     # squash=False: the reference's search mode indexes the RAW decoded text
-    # (src/search_mode.c:189-204 — no newline squash, unlike dedup mode)
-    idx = build_fingerprint_index(pages, window=qlen, squash=False)
-    hits = search(idx, pages, args.query, squash=False).persist()
+    # (src/search_mode.c:189-204 — no newline squash, unlike dedup mode).
+    # The fingerprint index is per window length; the REPL caches one persisted
+    # index per distinct query length (the Spark analog of the reference's
+    # build-once-probe-many block tree, src/search_mode.c:641-687).
+    if qlen not in idx_cache:
+        idx_cache[qlen] = build_fingerprint_index(
+            pages, window=qlen, squash=False).persist()
+    hits = search(idx_cache[qlen], pages, query, squash=False).persist()
     # url:line:col hit lines, as the reference prints (src/search_mode.c:288)
-    for r in with_line_col(hits, pages).limit(args.limit).collect():
+    for r in with_line_col(hits, pages).limit(limit).collect():
         print(f"{r['url']}:{r['line']}:{r['col']}")
     rep = search_report(hits).collect()[0]
     print(f"hits: {rep['total_hits']}; docs with hits: {rep['docs_with_hits']}; "
           f"took {time.time() - t0:.2f}s")
+    hits.unpersist()
+
+
+def cmd_search(args) -> int:
+    spark = _session(args.cores)
+    pages = _apply_mask(_as_pages(spark.read.parquet(args.input)), args.mask)
+    pages = pages.persist()
+    idx_cache: dict = {}
+    if args.query is not None:
+        _run_one_search(spark, pages, args.query, args.limit, idx_cache)
+        return 0
+    # interactive probe loop (reference REPL, src/search_mode.c:641-687):
+    # one query per line on stdin; blank line or EOF exits
+    while True:
+        try:
+            line = input("search> ")
+        except EOFError:
+            break
+        q = line.rstrip("\n")
+        if not q:
+            break
+        _run_one_search(spark, pages, q, args.limit, idx_cache)
     return 0
 
 
@@ -133,7 +161,9 @@ def main() -> None:
         if name == "dedup":
             p.add_argument("--output", required=True)
         if name == "search":
-            p.add_argument("--query", required=True)
+            p.add_argument("--query", default=None,
+                           help="one-shot query; omit for the interactive "
+                                "probe loop (queries on stdin, blank to exit)")
             p.add_argument("--limit", type=int, default=20)
     args = ap.parse_args()
     sys.exit({"dedup": cmd_dedup, "verify": cmd_verify, "search": cmd_search}[args.cmd](args))
