@@ -328,3 +328,29 @@ def verify_no_duplicates(deduped_docs: DataFrame, mode: str = "sentence",
         .collect()[0]["dups"]
     )
     return int(dup_count)
+
+
+def dedup_against_corpus(new_pages: DataFrame, corpus_units: DataFrame,
+                         mode: str = "sentence", max_length: int = 0,
+                         id_col: str = "url") -> tuple[DataFrame, DataFrame]:
+    """Incremental dedup of a NEW crawl batch against an existing corpus state —
+    the batch form of the streaming contract (stream_dedup): units already in
+    the corpus are dropped, then the batch is first-wins deduped internally,
+    then reassembled. Returns (kept_units, deduped_docs).
+
+    ``corpus_units`` is a one-column DataFrame of the corpus's normalized unit
+    bytes (``norm_unit``) — in production the keeper-table checkpoint from the
+    previous run (plans/pipeline.py), i.e. yesterday's state.
+
+    Scale notes: the anti-join keys on the full unit bytes (quirk Q6), hash-
+    partitioned on norm_unit — the SAME key as the keeper agg, so with the
+    corpus state stored bucketed by norm_unit (Iceberg `bucket(norm_unit, N)`)
+    the join is co-located and only the new batch shuffles. The corpus side is
+    pruned to the single key column, so no historical text bytes move.
+    """
+    units = explode_units_arrow(new_pages, mode, max_length, id_col=id_col)
+    fresh = units.join(
+        corpus_units.select("norm_unit"), "norm_unit", "left_anti")
+    keepers = dedup_keepers(fresh, id_col)
+    kept = keepers.drop("n_occ")
+    return kept, reassemble(kept, id_col)

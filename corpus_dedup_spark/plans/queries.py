@@ -653,8 +653,15 @@ def q_minhash_signatures(spark, sf_dir):
 
 
 def q_lsh_candidates(spark, sf_dir):
-    # augmented input: driver tables have no dups, so the un-seeded candidate set
-    # is empty (r1 vacuity); the seeded one must be non-empty
+    """Oracle-backed as of r4. On the driver's degenerate input (no sentence
+    terminators ⇒ one unit per doc ⇒ singleton shingle set), the LSH candidate
+    set equals the text-equal pair set EXACTLY: identical text ⇒ identical
+    signature ⇒ collision in every band (the ≥ floor), and distinct singleton
+    shingle sets would need a 4×64-bit band-hash collision to produce a spurious
+    pair (the ≤ side — deterministic data, so green once means green always).
+    So the same SQL that floors the leg (text-equal self-join) is the full
+    value oracle here. Augmented input: driver tables carry no dups (r1
+    vacuity), so copies are planted deterministically."""
     from corpus_dedup_spark.operators.minhash_lsh import (band_explode,
                                                           candidate_pairs,
                                                           doc_features)
@@ -951,6 +958,58 @@ FROM r
 """
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Incremental crawl dedup (batch form of the streaming contract): a NEW
+    batch is deduped against an existing corpus state (anti-join on the full
+    unit bytes — quirk Q6) and then first-wins deduped internally. Corpus =
+    docs < 250; new batch = docs ≥ 250 plus planted copies of corpus docs
+    (must vanish via the anti-join) and planted copies of new docs (must lose
+    internal first-wins)."""
+    from corpus_dedup_spark.operators.exact_dedup import (dedup_against_corpus,
+                                                          dedup_units,
+                                                          explode_units_arrow)
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") < 250)
+    rest = docs.filter(F.col("doc_id") >= 250)
+    new = (
+        rest
+        .unionByName(corpus.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"))
+        .unionByName(rest.filter(F.col("doc_id") % 25 == 0).select(
+            (F.col("doc_id") + 3_000_000).alias("doc_id"), "text"))
+    )
+    # corpus state = the keeper table of a previous run, pruned to the key
+    corpus_units = dedup_units(
+        explode_units_arrow(corpus, id_col="doc_id"), id_col="doc_id"
+    ).select("norm_unit")
+    _kept, deduped = dedup_against_corpus(new, corpus_units, id_col="doc_id")
+    return deduped.select("doc_id", "dedup_text", "n_units")
+
+
+SQL_INCREMENTAL_DEDUP = """
+WITH corpus AS (SELECT text FROM documents WHERE doc_id < 250),
+new AS (
+  SELECT doc_id, text FROM documents WHERE doc_id >= 250
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text FROM documents
+  WHERE doc_id < 250 AND doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 3000000 AS doc_id, text FROM documents
+  WHERE doc_id >= 250 AND doc_id % 25 = 0
+),
+fresh AS (
+  SELECT doc_id, text FROM new
+  WHERE text NOT IN (SELECT text FROM corpus)
+)
+SELECT doc_id, text AS dedup_text, CAST(1 AS BIGINT) AS n_units
+FROM (SELECT doc_id, text,
+             row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      FROM fresh) t
+WHERE rn = 1
+"""
+
+
 def q_block_tree_level1(spark, sf_dir):
     """Value oracle for the leader election itself (J2, the scan vectorized in
     r4): at level 1 a doc of n ≥ 2 codepoints splits into exactly two children
@@ -1018,10 +1077,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_floor": q_simhash_floor,
     "text_profile_ratios": q_text_profile_ratios,
     "block_tree_level1": q_block_tree_level1,
-    # rows-only (non-SQL-expressible stages; each now has a green floor/slice
-    # companion above except lsh_candidates, whose floor is lsh_exact_floor)
+    "lsh_candidates": q_lsh_candidates,  # oracle-backed as of r4 (degenerate-input
+    #                                      equality; see the query docstring)
+    "incremental_dedup": q_incremental_dedup,
+    # rows-only (non-SQL-expressible stages; each has a green floor/slice companion)
     "minhash_signatures": q_minhash_signatures,
-    "lsh_candidates": q_lsh_candidates,
     "simhash": q_simhash,
     "text_profile": q_text_profile,
     "embedding_ann": q_embedding_ann,
@@ -1060,4 +1120,6 @@ ORACLES: dict[str, str] = {
     "simhash_floor": SQL_SIMHASH_FLOOR,
     "text_profile_ratios": SQL_TEXT_PROFILE_RATIOS,
     "block_tree_level1": SQL_BLOCK_TREE_LEVEL1,
+    "lsh_candidates": SQL_LSH_EXACT_FLOOR,
+    "incremental_dedup": SQL_INCREMENTAL_DEDUP,
 }

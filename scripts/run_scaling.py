@@ -136,7 +136,8 @@ def report(min_round: int = 0) -> None:
             "master launches N REAL separate executor JVM processes (own heaps,",
             "allocators, Python worker pools) — the closest sandbox analog of the",
             f"north rule's N→4N EXECUTOR criterion. {lo_e} executor → {hi_e}",
-            f"executors at {cl['exec_cores']} core(s) each, same 100k-doc input,",
+            f"executors at {cl['exec_cores']} core(s) each, "
+            f"{cl.get('n_docs', 100000)}-doc input,",
             f"alternating rounds ({cl['n_rounds']}), best per level:",
             "",
             "| executors | e2e docs/s | exact-dedup docs/s |",

@@ -63,8 +63,11 @@ def do_round(i: int) -> None:
             print(json.dumps(r))
 
 
-def report() -> None:
-    runs = [json.loads(ln) for ln in open(RAW)]
+def report(min_round: int = 0) -> None:
+    # min_round guards against mixing engine versions across build rounds —
+    # per-level minima must all come from runs of the SAME code
+    runs = [json.loads(ln) for ln in open(RAW)
+            if json.loads(ln).get("round", 0) >= min_round]
     lo_n, hi_n = N_EXECS
     best = {}
     for n in (lo_n, hi_n):
@@ -73,6 +76,7 @@ def report() -> None:
     eff = (best[hi_n]["docs_per_sec"] / best[lo_n]["docs_per_sec"]) / (hi_n / lo_n)
     summary = {
         "mode": "local-cluster (separate executor JVMs)",
+        "n_docs": N_DOCS,
         "exec_cores": EXEC_CORES,
         "n_execs": [lo_n, hi_n],
         "best_docs_per_sec": {str(n): best[n]["docs_per_sec"] for n in best},
@@ -80,7 +84,7 @@ def report() -> None:
             str(n): best[n]["docs_per_sec_exact"] for n in best},
         "efficiency": round(eff, 3),
         "pass_ge_0_8": eff >= 0.8,
-        "n_rounds": max(r.get("round", 0) for r in runs) + 1,
+        "n_rounds": len({r.get("round", 0) for r in runs}),
     }
     out_path = os.path.join(REPO, ".bench_cache", "scaling_cluster_summary.json")
     with open(out_path, "w") as f:
@@ -92,8 +96,9 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--round", type=int, default=None)
     ap.add_argument("--report", action="store_true")
+    ap.add_argument("--min-round", type=int, default=0)
     a = ap.parse_args()
     if a.round is not None:
         do_round(a.round)
     if a.report:
-        report()
+        report(a.min_round)

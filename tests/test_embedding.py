@@ -56,3 +56,66 @@ def test_embedding_dup_pairs_finds_planted(spark):
     df = spark.createDataFrame(rows, ["vec_id", "embedding"])
     pairs = embedding_dup_pairs(df, threshold=0.98, n_planes=8).collect()
     assert any(r["id_a"] == 7 and r["id_b"] == 99 for r in pairs)
+
+
+def test_lsh_ann_recall_matches_theory(spark, sf_dir):
+    """Measured recall@1 of the LSH ANN path vs the CLOSED-FORM prediction.
+
+    With exact-cosine rescoring, the true NN wins rank 1 whenever it is a
+    candidate, so recall@1 = P(NN shares ≥1 bucket) =
+    mean_i 1-(1-(1-θ_i/π)^planes)^tables over the probes' true-NN angles θ_i.
+    The driver embeddings are random 64-d (true-NN cosine ≈ 0.28–0.48), so the
+    prediction at 8 planes × 4 tables is ≈ 0.085 — LOW by design: hyperplane
+    LSH targets high-cosine near-dups (see the planted leg below), and random
+    data is the adversarial floor. Matching theory here pins the bucketing
+    math exactly; an arbitrary ≥-bound could pass with broken salting."""
+    import numpy as np
+
+    from corpus_dedup_spark.operators.embedding_dedup import (brute_force_topk,
+                                                              lsh_ann_topk)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding").cache()
+    bf = brute_force_topk(emb, emb, k=1).collect()
+    truth = {r["probe_id"]: r["neighbor_id"] for r in bf}
+    theta = np.arccos(np.clip([r["cosine"] for r in bf], -1.0, 1.0))
+    planes, tables = 8, 4
+    p = 1.0 - (1.0 - (1.0 - theta / np.pi) ** planes) ** tables
+    predicted = float(p.mean())
+
+    ann = lsh_ann_topk(emb, k=1, n_planes=planes, n_tables=tables,
+                       dim=64).collect()
+    got = {r["probe_id"]: r["neighbor_id"] for r in ann if r["rank"] == 1}
+    hits = sum(1 for pr, n in truth.items() if got.get(pr) == n)
+    recall = hits / len(truth)
+    # one seeded draw of the hyperplanes ⇒ allow ~4σ binomial + plane-draw slack
+    sigma = float(np.sqrt(predicted * (1 - predicted) / len(truth)))
+    assert abs(recall - predicted) <= max(4 * sigma, 0.05), (
+        f"recall@1 = {recall:.3f}, theory = {predicted:.3f}")
+
+
+def test_lsh_ann_recall_planted_near_dups(spark, sf_dir):
+    """Operating-point recall: ε-perturbed copies (cosine ≈ 0.999) planted next
+    to real vectors must be recovered as top-1 by the LSH path. Theory at 8
+    planes × 4 tables gives miss probability < 10^-3 per pair."""
+    import numpy as np
+
+    from corpus_dedup_spark.operators.embedding_dedup import lsh_ann_topk
+
+    base = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding").toPandas()
+    rng = np.random.default_rng(11)
+    planted = []
+    for _, row in base.iloc[::10].iterrows():
+        v = np.asarray(row["embedding"], dtype=np.float64)
+        noisy = v + 0.02 * np.linalg.norm(v) / 8.0 * rng.standard_normal(v.size)
+        planted.append((int(row["vec_id"]) + 1_000_000,
+                        [float(x) for x in noisy]))
+    union = spark.createDataFrame(
+        [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
+         for _, r in base.iterrows()] + planted, ["vec_id", "embedding"])
+    ann = lsh_ann_topk(union, k=1, n_planes=8, n_tables=4, dim=64).collect()
+    top1 = {r["probe_id"]: r["neighbor_id"] for r in ann if r["rank"] == 1}
+    hits = sum(1 for pid, _ in planted if top1.get(pid) == pid - 1_000_000)
+    recall = hits / len(planted)
+    assert recall >= 0.95, f"planted recall@1 = {recall:.3f}"

@@ -107,3 +107,31 @@ def test_explode_units_arrow_equivalence(spark):
     a = explode_units(df).collect()
     b = explode_units_arrow(df).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_dedup_against_corpus(spark):
+    """Incremental batch dedup vs an existing corpus state: corpus units are
+    dropped, the new batch first-wins-dedupes internally, reassembly is clean."""
+    from corpus_dedup_spark.operators.exact_dedup import (dedup_against_corpus,
+                                                          dedup_units,
+                                                          explode_units_arrow)
+
+    corpus = spark.createDataFrame(
+        [("c1", "Old news here. Shared footer line."),
+         ("c2", "Another old page. Shared footer line.")], ["url", "text"])
+    new = spark.createDataFrame(
+        [("n1", "Fresh content one. Shared footer line."),   # footer already in corpus
+         ("n2", "Fresh content one. Brand new sentence."),   # first sent dup of n1's
+         ("n3", "Shared footer line.")],                     # fully known -> empty
+        ["url", "text"])
+    corpus_units = dedup_units(explode_units_arrow(corpus)).select("norm_unit")
+    kept, deduped = dedup_against_corpus(new, corpus_units)
+    out = {r["url"]: r for r in deduped.collect()}
+    assert out["n1"]["dedup_text"] == "Fresh content one."
+    assert out["n2"]["dedup_text"] == "Brand new sentence."
+    # n3 had nothing new: reference semantics skip the write entirely
+    assert "n3" not in out
+    # kept units never intersect the corpus state
+    kset = {bytes(r["norm_unit"]) for r in kept.collect()}
+    cset = {bytes(r["norm_unit"]) for r in corpus_units.collect()}
+    assert not (kset & cset)
