@@ -52,6 +52,17 @@ def build_session(
         # pandas-UDF stages at high core counts (measured 5x on local[32])
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        # ObjectHashAggregate (collect_list & friends) falls back to a SORT-based
+        # path after this many distinct keys per partition; the default (128) is
+        # far below any real grouping here (reassembly groups by document id:
+        # ~10^3-10^5 docs/partition under the 3-wave task sizing), so every
+        # doc-side aggregation silently became a sort. Measured on the exact leg
+        # at 200k docs / 8 cores: 6.97 s -> 6.09 s e2e (alternated best-of-N).
+        # 4M keys/partition is far above the operating range yet still bounds
+        # the non-spillable hash map on pathological partitionings; per-group
+        # state is the group's own rows, so memory stays ~ partition size.
+        .config("spark.sql.execution.objectHashAggregate.sortBased"
+                ".fallbackThreshold", "4194304")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         # local mode runs every task thread in the driver JVM: size the heap for
         # 32 concurrent partial-agg hashmaps (8g thrashes GC at high core counts)
