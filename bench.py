@@ -37,12 +37,24 @@ def _sf_from_dir(sf_dir: str) -> float:
 
 def ensure_pages_cache(sf: float, seed: int = 42,
                        n_docs: int | None = None) -> tuple[str, str]:
-    """Generate (once) and cache the synthetic pages + truth tables for this sf."""
+    """Generate (once) and cache the synthetic pages + truth tables for this sf.
+
+    The pages table is written as a multi-file parquet DIRECTORY (16 files,
+    8k-row row groups) — the layout any distributed writer produces. A single
+    one-row-group file gives Spark exactly ONE input split, which serializes
+    every map stage regardless of cluster size; that is a test-harness
+    artifact, not how a production table (or a 100 TB Iceberg table) reads,
+    and it silently invalidated executor-scaling comparisons on the
+    checkpointed pipeline (the in-memory bench repartitions after read, so it
+    was unaffected).
+    """
     if n_docs is None:
         n_docs = max(1000, int(500_000 * sf))
     tag = f"sf{sf}_n{n_docs}_seed{seed}"
     pages_path = os.path.join(CACHE_DIR, f"pages_{tag}.parquet")
     truth_path = os.path.join(CACHE_DIR, f"truth_{tag}.parquet")
+    if os.path.isfile(pages_path):
+        os.remove(pages_path)  # legacy single-file, single-row-group layout
     if not (os.path.exists(pages_path) and os.path.exists(truth_path)):
         os.makedirs(CACHE_DIR, exist_ok=True)
         from corpus_dedup_spark.sources.pages import generate_pages
@@ -50,7 +62,15 @@ def ensure_pages_cache(sf: float, seed: int = 42,
         pages, truth_pairs, _clusters = generate_pages(n_docs, seed=seed)
         # Spark can't read nanosecond parquet timestamps
         pages["warc_ts"] = pages["warc_ts"].astype("datetime64[us]")
-        pages.to_parquet(pages_path, index=False)
+        n_files = 16 if n_docs >= 16_000 else 1
+        chunk = -(-len(pages) // n_files)
+        os.makedirs(pages_path, exist_ok=True)
+        for i in range(n_files):
+            part = pages.iloc[i * chunk:(i + 1) * chunk]
+            if len(part):
+                part.to_parquet(
+                    os.path.join(pages_path, f"part-{i:05d}.parquet"),
+                    index=False, row_group_size=8192)
         truth_pairs.to_parquet(truth_path, index=False)
     return pages_path, truth_path
 

@@ -12,8 +12,10 @@ from __future__ import annotations
 
 import argparse
 import json
+import time
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 
 def main() -> None:
@@ -37,14 +39,36 @@ def main() -> None:
     pages = (spark.read.parquet(args.input) if "/" in args.input
              else spark.table(args.input))
     pipe = DedupPipeline(spark, cfg, args.work_dir, run_id=args.run_id)
+    n_docs = pages.count()
+    # pipeline wall is timed AFTER session creation and the input count, so
+    # JVM/executor cold-start (a constant at every cluster size) is excluded
+    # from the scaling comparison
+    t0 = time.time()
     out = pipe.run(pages)
+    stages = {name: df.count() for name, df in out.items()}
+    wall = time.time() - t0
+
+    # per-stage walls from the lineage rows (written by _record_lineage)
+    try:
+        stage_walls = {
+            r["stage"]: r["wall_ms"] / 1000.0
+            for r in pipe.lineage().select(
+                "stage", F.col("counters")["wall_ms"].alias("wall_ms")
+            ).distinct().collect()
+        }
+    except Exception:
+        stage_walls = {}
 
     summary = {
         "run_id": pipe.run_id,
         "config_hash": cfg.config_hash(),
-        "stages": {name: df.count() for name, df in out.items()},
+        "stages": stages,
+        "stage_wall_sec": {k: round(v, 2) for k, v in stage_walls.items()},
+        "n_docs": n_docs,
+        "pipeline_wall_sec": round(wall, 3),
+        "docs_per_sec": round(n_docs / wall, 1) if wall > 0 else None,
     }
-    print(json.dumps(summary))
+    print("SUBMIT_SUMMARY " + json.dumps(summary))
     spark.stop()
 
 
