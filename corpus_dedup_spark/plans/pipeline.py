@@ -28,15 +28,38 @@ from corpus_dedup_spark.config import DedupConfig
 STAGES = ("units", "deduped", "features", "edges", "clusters")
 
 
+def table_rows(path: str) -> int:
+    """Exact row count of a parquet directory from footer metadata only
+    (no Spark job, no data read) — the Iceberg-manifest-stats analog."""
+    import pyarrow.parquet as pq
+
+    return sum(
+        pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith("_"))
+
+
 class DedupPipeline:
     """End-to-end: pages → exact unit dedup → near-dup LSH edges → clusters."""
 
     def __init__(self, spark: SparkSession, cfg: DedupConfig, work_dir: str,
-                 run_id: str | None = None):
+                 run_id: str | None = None, checkpoint: bool = True):
+        """``checkpoint=False`` runs the identical dataflow with NO stage
+        writes/reads (stages compose lazily; nothing is resumable). Its purpose
+        is measurement: the checkpointed/compute-only wall-clock delta at two
+        cluster sizes isolates how much of the pipeline's scaling is bounded by
+        STORAGE bandwidth (which on a real cluster grows with the cluster —
+        object store + per-node NVMe — but on one box is a fixed memory bus)
+        versus the engine's own plan shape. Production runs keep the default."""
         self.spark = spark
         self.cfg = cfg
         self.work_dir = work_dir
         self.run_id = run_id or uuid.uuid4().hex[:12]
+        self.checkpoint = checkpoint
+        #: rows written per stage this run, from parquet footer metadata
+        #: (not populated for stages reused from a previous run's checkpoint —
+        #: use :func:`table_rows` on the stage dir for those)
+        self.stage_rows: dict[str, int] = {}
         os.makedirs(work_dir, exist_ok=True)
 
     # -- storage helpers (parquet locally; Iceberg writeTo in production) --
@@ -48,6 +71,8 @@ class DedupPipeline:
         return os.path.join(self.work_dir, f"{stage}.meta.json")
 
     def stage_is_complete(self, stage: str) -> bool:
+        if not self.checkpoint:
+            return False
         d = self._stage_dir(stage)
         if not os.path.exists(os.path.join(d, "_SUCCESS")):
             return False
@@ -59,6 +84,13 @@ class DedupPipeline:
         return meta.get("config_hash") == self.cfg.config_hash()
 
     def _write(self, df: DataFrame, stage: str) -> DataFrame:
+        if not self.checkpoint:
+            # multiply-consumed stages must still materialize once: features
+            # feeds band_explode AND the verify join-back; edges feeds CC's
+            # count gate AND its edge traversal. Everything else streams.
+            if stage in ("features", "edges"):
+                df = df.persist()
+            return df
         t0 = time.time()
         d = self._stage_dir(stage)
         df.write.mode("overwrite").parquet(d)
@@ -76,25 +108,51 @@ class DedupPipeline:
 
     def _record_lineage(self, df: DataFrame, stage: str, wall_ms: int) -> None:
         """Per-partition lineage rows: (run_id, stage, partition_id, input_span,
-        config_hash, counters, created_at)."""
-        per_part = (
-            df.withColumn("_pid", F.spark_partition_id())
-            .groupBy("_pid")
-            .agg(F.count("*").alias("rows_out"))
-            .select(
-                F.lit(self.run_id).alias("run_id"),
-                F.lit(stage).alias("stage"),
-                F.col("_pid").alias("partition_id"),
-                F.lit(self._stage_dir(stage)).alias("input_span"),
-                F.lit(self.cfg.config_hash()).alias("config_hash"),
-                F.create_map(
-                    F.lit("rows_out"), F.col("rows_out").cast("long"),
-                    F.lit("wall_ms"), F.lit(wall_ms).cast("long"),
-                ).alias("counters"),
-                F.current_timestamp().alias("created_at"),
-            )
-        )
-        per_part.write.mode("append").parquet(os.path.join(self.work_dir, "lineage"))
+        config_hash, counters, created_at).
+
+        Counters come from the stage table's FILE-LEVEL METADATA (parquet
+        footers — the local analog of Iceberg manifest stats), not a re-scan:
+        each write task produced one file, so file index = output partition id
+        and the footer's num_rows/serialized size are exact. The previous shape
+        re-read every just-written stage with a groupBy(spark_partition_id())
+        job — for the units stage that meant re-scanning the full occurrence
+        stream just to count it, a pure serial-overhead term in the pipeline
+        wall (and at 10^12 docs an extra full pass per stage). Footer reads are
+        driver-side milliseconds and launch no Spark job."""
+        import datetime
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        d = self._stage_dir(stage)
+        files = sorted(f for f in os.listdir(d)
+                       if f.endswith(".parquet") and not f.startswith("_"))
+        pids, counters = [], []
+        total = 0
+        for pid, fn in enumerate(files):
+            md = pq.ParquetFile(os.path.join(d, fn)).metadata
+            nbytes = os.path.getsize(os.path.join(d, fn))
+            pids.append(pid)
+            counters.append([("rows_out", md.num_rows), ("wall_ms", wall_ms),
+                             ("bytes", nbytes)])
+            total += md.num_rows
+        self.stage_rows[stage] = total
+        n = len(pids)
+        now = datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
+        tbl = pa.table({
+            "run_id": pa.array([self.run_id] * n, pa.string()),
+            "stage": pa.array([stage] * n, pa.string()),
+            "partition_id": pa.array(pids, pa.int32()),
+            "input_span": pa.array([d] * n, pa.string()),
+            "config_hash": pa.array([self.cfg.config_hash()] * n, pa.string()),
+            "counters": pa.array(counters, pa.map_(pa.string(), pa.int64())),
+            "created_at": pa.array([now] * n, pa.timestamp("us")),
+        })
+        lin_dir = os.path.join(self.work_dir, "lineage")
+        os.makedirs(lin_dir, exist_ok=True)
+        pq.write_table(
+            tbl, os.path.join(lin_dir, f"part-{_uuid.uuid4().hex[:12]}.parquet"))
 
     def lineage(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.work_dir, "lineage"))
@@ -102,8 +160,8 @@ class DedupPipeline:
     # -- stages --
 
     def run(self, pages: DataFrame, id_col: str = "url") -> dict[str, DataFrame]:
-        from corpus_dedup_spark.operators.exact_dedup import (explode_units_arrow,
-                                                              mark_duplicates,
+        from corpus_dedup_spark.operators.exact_dedup import (dedup_keepers,
+                                                              explode_units_arrow,
                                                               reassemble)
         from corpus_dedup_spark.operators.connected_components import (
             attach_labels, connected_components)
@@ -117,15 +175,28 @@ class DedupPipeline:
         if self.stage_is_complete("units"):
             out["units"] = self._read("units")
         else:
-            marked = mark_duplicates(
+            # Map-only stage: extraction runs in the scan pass and the write is
+            # embarrassingly parallel — NO shuffle touches the 26-units/doc
+            # occurrence stream here. The old shape ran mark_duplicates' window
+            # (hash-partition + sort of EVERY occurrence) before this write,
+            # which is exactly the all-occurrences shuffle SCALE.md's keeper-agg
+            # design exists to avoid; dedup moved to the next stage's partial
+            # agg. A per-occurrence is_dup listing (duplicates sink) stays
+            # derivable from this table via operators.exact_dedup.mark_duplicates
+            # without recomputing extraction.
+            out["units"] = self._write(
                 explode_units_arrow(pages, self.cfg.mode, self.cfg.max_length,
-                              id_col=id_col), id_col)
-            out["units"] = self._write(marked, "units")
+                                    id_col=id_col), "units")
 
         if self.stage_is_complete("deduped"):
             out["deduped"] = self._read("deduped")
         else:
-            kept = out["units"].filter(~F.col("is_dup")).drop("is_dup")
+            # groupBy(norm_unit) with JVM map-side partial combine: duplicate
+            # occurrences collapse BEFORE the shuffle, so ~the distinct set
+            # moves. Keeper = min(url, unit_idx) — same first-wins rule, same
+            # rows, as the previous window formulation (bit-identical output).
+            kept = dedup_keepers(out["units"], id_col).select(
+                id_col, "unit_idx", "norm_unit")
             out["deduped"] = self._write(reassemble(kept, id_col), "deduped")
 
         if self.stage_is_complete("features"):

@@ -68,7 +68,7 @@ def main() -> None:
     sections.append((
         "Exact-dedup keeper aggregation (map-side combine before shuffle)",
         plan_of(keepers),
-        ["partial_min", "partial_count", "hashpartitioning(norm_unit"],
+        ["partial_min", "partial_count", "hashpartitioning(_h"],
     ))
 
     # 2b. flat-Arrow extraction pipeline: scan → MapInArrow (flat units, no
@@ -80,7 +80,17 @@ def main() -> None:
         "Flat-Arrow extraction feeding the keeper aggregation (MapInArrow, "
         "no explode stage, partial agg before the exchange)",
         plan_of(keepers_arrow),
-        ["MapInArrow", "partial_min", "hashpartitioning(norm_unit", "!Generate"],
+        ["MapInArrow", "partial_min", "hashpartitioning(_h", "!Generate"],
+    ))
+
+    # 2c. pipeline units stage: extraction alone (what plans/pipeline.py writes
+    # as its first checkpoint) is a pure map — NO shuffle touches the
+    # per-occurrence unit stream; dedup happens in the next stage's partial agg
+    sections.append((
+        "Pipeline units stage (map-only extraction checkpoint: no Exchange, "
+        "no Window over the occurrence stream)",
+        plan_of(explode_units_arrow(pages)),
+        ["MapInArrow", "!Exchange", "!Window", "!Sort"],
     ))
 
     # 3. LSH candidate generation: ONE groupBy into capped buckets + streamed

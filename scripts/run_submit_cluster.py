@@ -31,6 +31,16 @@ N_EXECS = (1, 4)
 EXEC_CORES = 1
 EXEC_MEM_MB = 4096
 N_DOCS = int(os.environ.get("SUBMIT_N_DOCS", "100000"))
+# SUBMIT_MODE=compute runs the identical dataflow through the same
+# spark-submit/--py-files path but with NO stage checkpoints: the
+# checkpointed-vs-compute efficiency delta at the same two cluster sizes
+# isolates storage-bandwidth cost (fixed on one box, scales on a cluster)
+# from the engine's own plan scaling.
+MODE = os.environ.get("SUBMIT_MODE", "checkpointed")
+# in-process repeats per leg (best wall reported): iteration 1 pays the
+# per-executor JIT/codegen/Python-import constant that a production-length
+# run amortizes to ~0 — same warmup+best-of protocol as bench.py
+REPEATS = int(os.environ.get("SUBMIT_REPEATS", "1"))
 
 
 def _spark_submit() -> str:
@@ -87,13 +97,23 @@ def run(n_execs: int, pages_path: str) -> dict:
         "--conf", f"spark.sql.shuffle.partitions={parts}",
         "--conf", "spark.sql.execution.objectHashAggregate.sortBased"
                   ".fallbackThreshold=4194304",
+        # stage checkpoints in zstd: the standard Iceberg codec for text
+        # tables — ~1.5-2x smaller than snappy on web text, so every
+        # checkpoint write+read moves that much less through storage (on this
+        # single box: through the one shared memory bus; on a cluster: through
+        # the object store). CPU cost lands on cores, which scale.
+        "--conf", "spark.sql.parquet.compression.codec=zstd",
         "--conf", "spark.ui.enabled=false",
         "--conf", "spark.sql.session.timeZone=UTC",
         os.path.join(REPO, "scripts", "submit_pipeline.py"),
         "--input", pages_path, "--work-dir", work,
     ]
+    if MODE == "compute":
+        cmd.append("--no-checkpoint")
+    if REPEATS > 1:
+        cmd += ["--repeats", str(REPEATS)]
     out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO,
-                         timeout=1800)
+                         timeout=3000)
     lines = [ln for ln in out.stdout.splitlines()
              if ln.startswith("SUBMIT_SUMMARY ")]
     if not lines:
@@ -101,14 +121,19 @@ def run(n_execs: int, pages_path: str) -> dict:
         raise RuntimeError(f"no summary from spark-submit at {n_execs} execs")
     summary = json.loads(lines[-1][len("SUBMIT_SUMMARY "):])
     summary["n_execs"] = n_execs
+    summary["repeats"] = REPEATS
     # lineage rows are the resume/metrics contract — count them as evidence
+    # (with --repeats the pipeline suffixes the work dir per iteration)
+    lin_work = work if REPEATS <= 1 else f"{work}_i{REPEATS - 1}"
     try:
         import pyarrow.parquet as pq
         summary["lineage_rows"] = pq.read_table(
-            os.path.join(work, "lineage"), columns=["stage"]).num_rows
+            os.path.join(lin_work, "lineage"), columns=["stage"]).num_rows
     except Exception:
         summary["lineage_rows"] = None
-    shutil.rmtree(work, ignore_errors=True)
+    for w in ([work] if REPEATS <= 1
+              else [f"{work}_i{i}" for i in range(REPEATS)]):
+        shutil.rmtree(w, ignore_errors=True)
     return summary
 
 
@@ -124,21 +149,51 @@ def do_round(i: int, pages_path: str) -> None:
 
 
 def report(min_round: int = 0) -> None:
+    """Best-per-level per MODE (checkpointed vs compute-only), same protocol."""
     runs = [json.loads(ln) for ln in open(RAW)
             if json.loads(ln).get("round", 0) >= min_round]
     lo, hi = N_EXECS
-    best = {n: max((r for r in runs if r["n_execs"] == n),
-                   key=lambda r: r["docs_per_sec"]) for n in (lo, hi)}
-    eff = (best[hi]["docs_per_sec"] / best[lo]["docs_per_sec"]) / (hi / lo)
     summary = {
-        "mode": "spark-submit --py-files, local-cluster (separate executor JVMs)",
-        "n_docs": best[lo]["n_docs"],
+        "harness": "spark-submit --py-files, local-cluster (separate executor "
+                   "JVMs)",
         "n_execs": [lo, hi],
-        "pipeline_docs_per_sec": {str(n): best[n]["docs_per_sec"] for n in best},
-        "efficiency": round(eff, 3),
-        "pass_ge_0_8": eff >= 0.8,
-        "n_rounds": len({r.get("round", 0) for r in runs}),
+        "modes": {},
     }
+    cells = sorted({(r.get("mode", "checkpointed"), r["n_docs"])
+                    for r in runs})
+    for mode, n_docs in cells:
+        mruns = [r for r in runs
+                 if r.get("mode", "checkpointed") == mode
+                 and r["n_docs"] == n_docs]
+        if not all(any(r["n_execs"] == n for r in mruns) for n in (lo, hi)):
+            continue
+        best = {n: max((r for r in mruns if r["n_execs"] == n),
+                       key=lambda r: r["docs_per_sec"]) for n in (lo, hi)}
+        eff = (best[hi]["docs_per_sec"] / best[lo]["docs_per_sec"]) / (hi / lo)
+        # PAIRED rounds: both levels measured back-to-back under the same
+        # co-tenant load; the median over rounds is robust to noise hitting
+        # either leg (best-of-N-per-level can be biased either way when a
+        # clean window lands on only one level).
+        paired = {}
+        for r in mruns:
+            paired.setdefault(r.get("round", 0), {})[r["n_execs"]] = \
+                r["docs_per_sec"]
+        pair_effs = sorted((v[hi] / v[lo]) / (hi / lo)
+                           for v in paired.values() if lo in v and hi in v)
+        k = len(pair_effs)
+        med = (None if k == 0 else
+               pair_effs[k // 2] if k % 2 else
+               (pair_effs[k // 2 - 1] + pair_effs[k // 2]) / 2)
+        summary["modes"][f"{mode} @{n_docs}"] = {
+            "n_docs": n_docs,
+            "pipeline_docs_per_sec": {str(n): best[n]["docs_per_sec"]
+                                      for n in best},
+            "efficiency": round(eff, 3),
+            "paired_efficiency_median": (round(med, 3)
+                                         if med is not None else None),
+            "pass_ge_0_8": eff >= 0.8,
+            "n_rounds": len({r.get("round", 0) for r in mruns}),
+        }
     out_path = os.path.join(REPO, ".bench_cache", "submit_cluster_summary.json")
     with open(out_path, "w") as f:
         json.dump(summary, f, indent=1)
