@@ -699,6 +699,19 @@ WHERE rn = 1
 
 
 def q_simhash(spark, sf_dir):
+    """Per-page 64-bit SimHash over sentence-unit FNV hashes.
+
+    Oracle validity (SQL_SIMHASH): on the driver tables every document extracts
+    exactly ONE sentence unit whose bytes equal the raw text bytes (verified for
+    all sf0.01 docs), and a single-unit SimHash degenerates to that unit's
+    FNV-1a hash (each bit's vote tally is +-1, so the sign bits ARE the hash
+    bits). The oracle therefore folds reference FNV-1a (offset 1469598103934665603,
+    prime 1099511628211 — ref src/hash_utils.c:3-10) over the UTF-8 bytes in
+    DuckDB HUGEINT arithmetic, value-checking the full hash pipeline: byte
+    extraction, xor/multiply mod 2^64 fold, and int64 bit-reinterpretation.
+    Multi-unit voting is value-checked separately by simhash_floor (planted
+    copies) and pytest goldens.
+    """
     from corpus_dedup_spark.functions.udfs import (make_extract_units_udf,
                                                    simhash_udf)
 
@@ -707,6 +720,31 @@ def q_simhash(spark, sf_dir):
     return pages.select(
         "url", simhash_udf(extract(F.col("text"))).alias("simhash")
     )
+
+
+SQL_SIMHASH = """
+WITH pages AS (
+  SELECT 'doc://' || source || '/' || CAST(doc_id AS VARCHAR) AS url, text
+  FROM documents
+), b AS (
+  SELECT url, hex(encode(text)) AS h, octet_length(encode(text)) AS n
+  FROM pages
+), f AS (
+  SELECT url,
+    list_reduce(
+      list_prepend(CAST(1469598103934665603 AS HUGEINT),
+        list_transform(range(1, n + 1),
+          i -> CAST(strpos('0123456789ABCDEF', substr(h, 2*i-1, 1)) * 16
+                  + strpos('0123456789ABCDEF', substr(h, 2*i, 1)) - 17 AS HUGEINT))),
+      (acc, byte) -> (xor(acc, byte) * 1099511628211) % 18446744073709551616
+    ) AS hu
+  FROM b
+)
+SELECT url,
+       CAST(CASE WHEN hu >= 9223372036854775808
+                 THEN hu - 18446744073709551616 ELSE hu END AS BIGINT) AS simhash
+FROM f
+"""
 
 
 def q_text_profile(spark, sf_dir):
@@ -1080,9 +1118,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_candidates": q_lsh_candidates,  # oracle-backed as of r4 (degenerate-input
     #                                      equality; see the query docstring)
     "incremental_dedup": q_incremental_dedup,
+    "simhash": q_simhash,  # full FNV-fold oracle as of r4 (see q_simhash docstring)
     # rows-only (non-SQL-expressible stages; each has a green floor/slice companion)
     "minhash_signatures": q_minhash_signatures,
-    "simhash": q_simhash,
     "text_profile": q_text_profile,
     "embedding_ann": q_embedding_ann,
     "block_tree_stats": q_block_tree_stats,
@@ -1122,4 +1160,5 @@ ORACLES: dict[str, str] = {
     "block_tree_level1": SQL_BLOCK_TREE_LEVEL1,
     "lsh_candidates": SQL_LSH_EXACT_FLOOR,
     "incremental_dedup": SQL_INCREMENTAL_DEDUP,
+    "simhash": SQL_SIMHASH,
 }
