@@ -449,6 +449,33 @@ def simhash_udf(unit_lists: pd.Series) -> pd.Series:
     return pd.Series(out.view(np.int64))
 
 
+def make_sig_digest_udf(num_perm: int):
+    """Packed sig blob → struct(sig_sum, sig_first): lane-sum mod 2^64 and lane 0,
+    both bit-reinterpreted int64. One np.frombuffer over the concatenated batch
+    (every blob is exactly num_perm u64), zero per-row Python. Oracle-digest
+    support for q_minhash_signatures."""
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType([
+        StructField("sig_sum", LongType()),
+        StructField("sig_first", LongType()),
+    ])
+
+    @pandas_udf(schema)
+    def sig_digest(blobs: pd.Series) -> pd.DataFrame:
+        n = len(blobs)
+        if n == 0:
+            return pd.DataFrame({"sig_sum": pd.Series([], dtype="int64"),
+                                 "sig_first": pd.Series([], dtype="int64")})
+        mat = np.frombuffer(b"".join(blobs), dtype=_U64).reshape(n, num_perm)
+        with np.errstate(over="ignore"):
+            sums = mat.sum(axis=1, dtype=_U64)
+        return pd.DataFrame({"sig_sum": sums.view(np.int64),
+                             "sig_first": mat[:, 0].view(np.int64).copy()})
+
+    return sig_digest
+
+
 # ---------------------------------------------------------------------------
 # H2/H4 — rolling-hash window fingerprints over UTF-32 codepoints
 # ---------------------------------------------------------------------------

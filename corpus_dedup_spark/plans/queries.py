@@ -639,17 +639,119 @@ def _docs_as_pages(spark, sf_dir):
 
 
 def q_minhash_signatures(spark, sf_dir):
+    """Per-page OPH MinHash signature digest — FULL value oracle as of r4.
+
+    Oracle validity (SQL_MINHASH_SIG): on the driver tables every document is a
+    single sentence unit (no terminators) whose bytes equal the text bytes, so
+    the shingle set is the singleton {fnv1a(text)} (``_shingle_hashes`` with
+    n < k folds all units into one shingle, which for one unit is the unit hash
+    itself). A singleton set makes the full OPH+optimal-densification signature
+    a closed-form function of ``hv = fnv1a(text)*a0 + b0 mod 2^64``: bin
+    ``j0 = hv % P`` holds hv; every other lane c holds ``hv + m(c, j0)*C``
+    where m is determined by the fixed probe permutations (probe attempt k
+    hitting j0 ⇒ m = k+1, else rotation fallback m = 24 + (j0-c) mod P). The
+    oracle therefore recomputes ``sig_sum = (P*hv + C*M[j0]) mod 2^64`` and
+    ``sig_first = hv + C*M0[j0] mod 2^64`` in DuckDB HUGEINT arithmetic with
+    the two 128-entry multiplier tables embedded as literals (M[j0] = Σ_c
+    m(c,j0); M0[j0] = m(0,j0)) — value-checking unit extraction, FNV-1a, the
+    multiply-shift hash, binning, and both densification branches end-to-end.
+    The closed form is property-tested against the real kernel on random
+    multi-shingle sets in tests (not just the degenerate case). ``sig_len`` /
+    ``n_shingles`` are structural (constant on this input) — the value load is
+    carried by sig_sum/sig_first."""
+    from corpus_dedup_spark.functions.udfs import make_sig_digest_udf
     from corpus_dedup_spark.operators.minhash_lsh import doc_features
 
     cfg = DedupConfig()
     feats = doc_features(_docs_as_pages(spark, sf_dir), cfg)
     # sig/shingles are packed u64 blobs (8 bytes per hash) — see make_features_udf
+    digest = make_sig_digest_udf(cfg.num_perm)
     return feats.select(
         "url",
         (F.length("sig") / 8).cast("long").alias("sig_len"),
         (F.length("shingles") / 8).cast("long").alias("n_shingles"),
-        F.xxhash64(F.col("sig")).alias("sig_hash"),
+        digest(F.col("sig")).alias("digest"),
+    ).select(
+        "url", "sig_len", "n_shingles",
+        F.col("digest.sig_sum").alias("sig_sum"),
+        F.col("digest.sig_first").alias("sig_first"),
     )
+
+
+# Closed-form OPH signature digest for singleton shingle sets (see the
+# q_minhash_signatures docstring). Constants: a0/b0 = first multiply-shift draw
+# of _perm_params(seed=1215752193); C = the odd golden-ratio densification
+# offset; M/M0 = 128-entry multiplier tables derived from the fixed probe
+# permutations (_probe_tables(128, 24), seeded by P alone — constants by
+# construction, like embedding the FNV prime). Regenerate with
+# scripts/gen_minhash_oracle_tables.py; tests/test_minhash_oracle_closed_form.py
+# property-checks the closed form against the real kernel.
+_MINHASH_M = (
+    "[9724,9718,9647,9523,9935,9882,9359,9454,9455,9288,9519,9690,9523,9571,"
+    "9580,9350,9361,9801,9681,9569,9662,9725,9325,9667,9723,9858,9494,9288,"
+    "8979,9321,9980,9219,9688,9333,9354,9347,9633,9359,9625,9484,9625,9605,"
+    "9572,9603,9552,9530,9499,9440,9957,9639,9490,9470,9355,9574,9337,9588,"
+    "9751,9298,9495,9599,9552,9487,9639,9602,9476,9514,9475,9594,9576,9909,"
+    "9524,9100,9674,9257,9682,9586,9398,9566,9585,9378,9623,9475,9260,9771,"
+    "9584,9764,9653,9838,9540,9340,9375,9493,9426,9684,9148,9502,9142,9652,"
+    "9531,9699,9535,9628,9638,9450,9295,9211,9288,9736,9635,9381,9710,9488,"
+    "9473,9887,9369,9469,9482,9748,9350,9312,9118,9592,9787,9307,9501,9718,"
+    "9578,10094]"
+)
+_MINHASH_M0 = (
+    "[0,25,26,27,28,29,2,31,32,33,34,35,36,37,38,14,40,7,42,43,44,45,12,47,"
+    "48,49,50,5,52,53,11,55,56,57,20,59,8,61,62,63,64,65,66,67,68,69,4,71,"
+    "72,24,74,75,76,77,78,79,80,81,82,83,84,85,86,87,19,89,90,91,92,10,21,"
+    "95,96,97,98,99,100,101,102,103,104,105,106,13,108,109,1,111,112,113,"
+    "114,115,116,117,118,119,120,121,16,123,124,125,18,127,128,129,130,131,"
+    "132,133,134,15,136,137,3,139,140,141,142,143,144,145,146,147,148,6,"
+    "150,151]"
+)
+
+SQL_MINHASH_SIG = f"""
+WITH pages AS (
+  SELECT 'doc://' || source || '/' || CAST(doc_id AS VARCHAR) AS url, text
+  FROM documents
+), b AS (
+  SELECT url, hex(encode(text)) AS h, octet_length(encode(text)) AS n
+  FROM pages
+), f AS (
+  SELECT url,
+    list_reduce(
+      list_prepend(CAST(1469598103934665603 AS HUGEINT),
+        list_transform(range(1, n + 1),
+          i -> CAST(strpos('0123456789ABCDEF', substr(h, 2*i-1, 1)) * 16
+                  + strpos('0123456789ABCDEF', substr(h, 2*i, 1)) - 17 AS HUGEINT))),
+      (acc, byte) -> (xor(acc, byte) * 1099511628211) % 18446744073709551616
+    ) AS u
+  FROM b
+), hv AS (
+  SELECT url,
+    ( (u % 4294967296) * CAST(17517612444482299011 AS HUGEINT)
+    + ((u // 4294967296) * CAST(17517612444482299011 AS HUGEINT) % 4294967296)
+      * 4294967296
+    + CAST(4234548666615899430 AS HUGEINT)
+    ) % 18446744073709551616 AS hv
+  FROM f
+), lanes AS (
+  SELECT url, hv, CAST(hv % 128 AS INT) AS j0 FROM hv
+), digest AS (
+  SELECT url,
+    (128 * hv + CAST(11400714819323198485 AS HUGEINT)
+              * {_MINHASH_M}[j0 + 1]) % 18446744073709551616 AS s,
+    (hv + CAST(11400714819323198485 AS HUGEINT)
+        * {_MINHASH_M0}[j0 + 1]) % 18446744073709551616 AS f0
+  FROM lanes
+)
+SELECT url,
+       CAST(128 AS BIGINT) AS sig_len,
+       CAST(1 AS BIGINT) AS n_shingles,
+       CAST(CASE WHEN s >= 9223372036854775808
+                 THEN s - 18446744073709551616 ELSE s END AS BIGINT) AS sig_sum,
+       CAST(CASE WHEN f0 >= 9223372036854775808
+                 THEN f0 - 18446744073709551616 ELSE f0 END AS BIGINT) AS sig_first
+FROM digest
+"""
 
 
 def q_lsh_candidates(spark, sf_dir):
@@ -1119,8 +1221,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #                                      equality; see the query docstring)
     "incremental_dedup": q_incremental_dedup,
     "simhash": q_simhash,  # full FNV-fold oracle as of r4 (see q_simhash docstring)
+    "minhash_signatures": q_minhash_signatures,  # closed-form OPH digest oracle (r4)
     # rows-only (non-SQL-expressible stages; each has a green floor/slice companion)
-    "minhash_signatures": q_minhash_signatures,
     "text_profile": q_text_profile,
     "embedding_ann": q_embedding_ann,
     "block_tree_stats": q_block_tree_stats,
@@ -1161,4 +1263,5 @@ ORACLES: dict[str, str] = {
     "lsh_candidates": SQL_LSH_EXACT_FLOOR,
     "incremental_dedup": SQL_INCREMENTAL_DEDUP,
     "simhash": SQL_SIMHASH,
+    "minhash_signatures": SQL_MINHASH_SIG,
 }
