@@ -226,7 +226,15 @@ def content_fingerprint_expr(text: Column) -> Column:
 
 
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Attach the full analysis column set to a document DataFrame."""
+    """Attach the full analysis column set to a document DataFrame.
+
+    The ``fingerprint`` column is the REFERENCE-PARITY rolling hash (base-31
+    mod 2^64 over codepoints of the squashed+normalized text — H2 constants,
+    ref src/block_tree_core.c:162-201), not xxhash64: it is the document-level
+    member of the reference's own fingerprint family, and being plain modular
+    arithmetic it is value-checkable by an ANSI-SQL oracle end-to-end
+    (SQL_TEXT_PROFILE). ``content_fingerprint_expr`` (xxhash64, JVM-side) stays
+    available for blocking where hash parity doesn't matter."""
     c = F.col(text_col)
     feats = quality_features(c)
     return df.select(
@@ -235,6 +243,6 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         quality_score_expr(c),
         token_count_ws(c),
         token_count_bpe(c),
-        content_fingerprint_expr(c),
+        rolling_fingerprint_udf(c).alias("fingerprint"),
         *[v.alias(k) for k, v in feats.items() if k not in ("n_chars",)],
     )

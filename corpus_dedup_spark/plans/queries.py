@@ -850,9 +850,150 @@ FROM f
 
 
 def q_text_profile(spark, sf_dir):
+    """Full text-analysis profile — COMPLETE value oracle as of r4 (every
+    column, not just the _ints/_ratios slices): the fingerprint column is now
+    the reference-parity base-31 rolling hash (plain modular arithmetic,
+    foldable in DuckDB HUGEINT over codepoints of the normalized text), and
+    SQL_TEXT_PROFILE replicates the whole lang-ID decision tree (script-class
+    regex densities + per-language marker votes with the Spark tie-break
+    order) plus the quality composite. The float ratio columns are emitted RAW
+    (not ppm-floored): each is a single IEEE-754 division of exact integers,
+    so both engines produce bit-identical doubles and identical reprs. The
+    _ints/_ratios companions are kept as narrower, independently-derived
+    checks."""
     from corpus_dedup_spark.functions.text import text_profile
 
     return text_profile(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
+SQL_TEXT_PROFILE = r"""
+WITH base AS (
+  SELECT doc_id, text,
+         length(text) AS n,
+         length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_alpha,
+         length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+         length(text) - length(regexp_replace(text, '[\.,;:!\?"''()\[\]{}]', '', 'g')) AS n_punct,
+         length(text) - length(replace(text, ' ', '')) AS n_space,
+         len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_words,
+         ' ' || lower(text) || ' ' AS padded
+  FROM documents
+), mk AS (
+  SELECT *,
+    CAST((length(padded) - length(replace(padded, ' the ', ''))) / 5
+       + (length(padded) - length(replace(padded, ' and ', ''))) / 5
+       + (length(padded) - length(replace(padded, ' of ', ''))) / 4
+       + (length(padded) - length(replace(padded, ' to ', ''))) / 4
+       + (length(padded) - length(replace(padded, ' is ', ''))) / 4 AS BIGINT) AS s_en,
+    CAST((length(padded) - length(replace(padded, ' el ', ''))) / 4
+       + (length(padded) - length(replace(padded, ' la ', ''))) / 4
+       + (length(padded) - length(replace(padded, ' de ', ''))) / 4
+       + (length(padded) - length(replace(padded, ' que ', ''))) / 5
+       + (length(padded) - length(replace(padded, ' los ', ''))) / 5 AS BIGINT) AS s_es,
+    CAST((length(padded) - length(replace(padded, ' der ', ''))) / 5
+       + (length(padded) - length(replace(padded, ' die ', ''))) / 5
+       + (length(padded) - length(replace(padded, ' und ', ''))) / 5
+       + (length(padded) - length(replace(padded, ' das ', ''))) / 5
+       + (length(padded) - length(replace(padded, ' ist ', ''))) / 5 AS BIGINT) AS s_de,
+    CAST((length(padded) - length(replace(padded, ' le ', ''))) / 4
+       + (length(padded) - length(replace(padded, ' les ', ''))) / 5
+       + (length(padded) - length(replace(padded, ' des ', ''))) / 5
+       + (length(padded) - length(replace(padded, ' est ', ''))) / 5
+       + (length(padded) - length(replace(padded, ' une ', ''))) / 5 AS BIGINT) AS s_fr,
+    CAST((length(padded) - length(replace(padded, ' o ', ''))) / 3
+       + (length(padded) - length(replace(padded, ' os ', ''))) / 4
+       + (length(padded) - length(replace(padded, ' um ', ''))) / 4
+       + (length(padded) - length(replace(padded, ' uma ', ''))) / 5
+       + (length(padded) - length(replace(padded, ' não ', ''))) / 5 AS BIGINT) AS s_pt,
+    CAST((length(padded) - length(replace(padded, ' il ', ''))) / 4
+       + (length(padded) - length(replace(padded, ' gli ', ''))) / 5
+       + (length(padded) - length(replace(padded, ' di ', ''))) / 4
+       + (length(padded) - length(replace(padded, ' che ', ''))) / 5
+       + (length(padded) - length(replace(padded, ' per ', ''))) / 5 AS BIGINT) AS s_it,
+    CAST((length(padded) - length(replace(padded, ' de ', ''))) / 4
+       + (length(padded) - length(replace(padded, ' het ', ''))) / 5
+       + (length(padded) - length(replace(padded, ' een ', ''))) / 5
+       + (length(padded) - length(replace(padded, ' van ', ''))) / 5
+       + (length(padded) - length(replace(padded, ' niet ', ''))) / 6 AS BIGINT) AS s_nl,
+    CAST((length(padded) - length(replace(padded, ' і ', ''))) / 3
+       + (length(padded) - length(replace(padded, ' та ', ''))) / 4
+       + (length(padded) - length(replace(padded, ' що ', ''))) / 4
+       + (length(padded) - length(replace(padded, ' це ', ''))) / 4
+       + (length(padded) - length(replace(padded, ' він ', ''))) / 5
+       + (length(padded) - length(replace(padded, ' як ', ''))) / 4
+       + (length(padded) - length(replace(padded, ' не ', ''))) / 4 AS BIGINT) AS s_uk,
+    CAST((length(padded) - length(replace(padded, ' и ', ''))) / 3
+       + (length(padded) - length(replace(padded, ' в ', ''))) / 3
+       + (length(padded) - length(replace(padded, ' не ', ''))) / 4
+       + (length(padded) - length(replace(padded, ' что ', ''))) / 5
+       + (length(padded) - length(replace(padded, ' он ', ''))) / 4
+       + (length(padded) - length(replace(padded, ' это ', ''))) / 5
+       + (length(padded) - length(replace(padded, ' как ', ''))) / 5 AS BIGINT) AS s_ru,
+    CAST((length(padded) - length(replace(padded, ' и ', ''))) / 3
+       + (length(padded) - length(replace(padded, ' на ', ''))) / 4
+       + (length(padded) - length(replace(padded, ' да ', ''))) / 4
+       + (length(padded) - length(replace(padded, ' се ', ''))) / 4
+       + (length(padded) - length(replace(padded, ' това ', ''))) / 6
+       + (length(padded) - length(replace(padded, ' той ', ''))) / 5 AS BIGINT) AS s_bg,
+    length(regexp_replace(text, '[\x{4e00}-\x{9fff}\x{3040}-\x{30ff}\x{ac00}-\x{d7af}]', '', 'g')) < n * 0.7 AS is_cjk,
+    length(regexp_replace(text, '[\x{3040}-\x{30ff}]', '', 'g')) < n AS has_kana,
+    length(regexp_replace(text, '[\x{ac00}-\x{d7af}]', '', 'g')) < n * 0.7 AS is_hangul,
+    length(regexp_replace(text, '[\x{0600}-\x{06ff}]', '', 'g')) < n * 0.7 AS is_ar,
+    length(regexp_replace(text, '[\x{0400}-\x{04ff}]', '', 'g')) < n * 0.7 AS is_cy
+  FROM base
+), lang AS (
+  SELECT *,
+    CASE
+      WHEN n IS NULL OR n = 0 THEN 'und'
+      WHEN is_cjk AND has_kana THEN 'ja'
+      WHEN is_cjk AND is_hangul THEN 'ko'
+      WHEN is_cjk THEN 'zh'
+      WHEN is_ar THEN 'ar'
+      WHEN is_cy THEN
+        CASE WHEN greatest(s_uk, s_ru, s_bg) > 0 THEN
+          CASE WHEN s_uk = greatest(s_uk, s_ru, s_bg) THEN 'uk'
+               WHEN s_ru = greatest(s_uk, s_ru, s_bg) THEN 'ru'
+               ELSE 'bg' END
+        ELSE 'uk' END
+      ELSE
+        CASE WHEN greatest(s_en, s_es, s_de, s_fr, s_pt, s_it, s_nl) > 0 THEN
+          CASE WHEN s_en = greatest(s_en, s_es, s_de, s_fr, s_pt, s_it, s_nl) THEN 'en'
+               WHEN s_es = greatest(s_en, s_es, s_de, s_fr, s_pt, s_it, s_nl) THEN 'es'
+               WHEN s_de = greatest(s_en, s_es, s_de, s_fr, s_pt, s_it, s_nl) THEN 'de'
+               WHEN s_fr = greatest(s_en, s_es, s_de, s_fr, s_pt, s_it, s_nl) THEN 'fr'
+               WHEN s_pt = greatest(s_en, s_es, s_de, s_fr, s_pt, s_it, s_nl) THEN 'pt'
+               WHEN s_it = greatest(s_en, s_es, s_de, s_fr, s_pt, s_it, s_nl) THEN 'it'
+               ELSE 'nl' END
+        ELSE 'und' END
+    END AS lang_pred
+  FROM mk
+), fp AS (
+  SELECT doc_id,
+    list_reduce(
+      list_prepend(CAST(0 AS HUGEINT),
+        list_transform(
+          range(1, length(trim(regexp_replace(text, '[\x{01}-\x{20}]+', ' ', 'g'), ' ')) + 1),
+          i -> CAST(unicode(substr(trim(regexp_replace(text, '[\x{01}-\x{20}]+', ' ', 'g'), ' '), i, 1)) AS HUGEINT))),
+      (acc, cp) -> (acc * 31 + cp) % 18446744073709551616
+    ) AS fpu
+  FROM documents
+)
+SELECT l.doc_id, l.text, l.lang_pred,
+  (CASE WHEN l.n >= 200 AND l.n <= 100000 THEN 1.0 WHEN l.n >= 50 THEN 0.5 ELSE 0.0 END
+ + CASE WHEN l.n_alpha / greatest(l.n, 1) >= 0.6 THEN 1.0 WHEN l.n_alpha / greatest(l.n, 1) >= 0.4 THEN 0.5 ELSE 0.0 END
+ + CASE WHEN s_en / greatest(l.n_words, 1) >= 0.05 THEN 1.0 WHEN s_en / greatest(l.n_words, 1) > 0 THEN 0.5 ELSE 0.0 END
+ + CASE WHEN (l.n - l.n_space) / greatest(l.n_words, 1) >= 3 AND (l.n - l.n_space) / greatest(l.n_words, 1) <= 12 THEN 1.0 ELSE 0.0 END
+  ) / 4.0 AS quality,
+  CAST(l.n_words AS BIGINT) AS n_tokens_ws,
+  CAST(len(regexp_extract_all(l.text, '[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens_bpe,
+  CAST(CASE WHEN f.fpu >= 9223372036854775808 THEN f.fpu - 18446744073709551616 ELSE f.fpu END AS BIGINT) AS fingerprint,
+  CAST(l.n_words AS BIGINT) AS n_words,
+  l.n_alpha / greatest(l.n, 1) AS alpha_ratio,
+  l.n_digit / greatest(l.n, 1) AS digit_ratio,
+  l.n_punct / greatest(l.n, 1) AS punct_ratio,
+  (l.n - l.n_space) / greatest(l.n_words, 1) AS mean_word_len,
+  s_en / greatest(l.n_words, 1) AS stopword_ratio
+FROM lang l JOIN fp f USING (doc_id)
+"""
 
 
 def q_embedding_ann(spark, sf_dir):
@@ -1027,8 +1168,8 @@ def q_text_profile_ratios(spark, sf_dir):
     (integer inputs, one division, one multiply), so the floor is identical;
     emitting BIGINT sidesteps the float-repr hashing trap. quality×8 is an
     integral double by construction (four terms in {0, .5, 1}, /4), so its cast
-    is exact on both sides. With text_profile_ints this value-checks every
-    text_profile column except lang_pred and the xxhash fingerprint."""
+    is exact on both sides. (Historical note: these slices predate the complete
+    SQL_TEXT_PROFILE oracle and are kept as narrower independent checks.)"""
     from corpus_dedup_spark.functions.text import text_profile
 
     prof = text_profile(_docs(spark, sf_dir).select("doc_id", "text"))
@@ -1222,8 +1363,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_dedup": q_incremental_dedup,
     "simhash": q_simhash,  # full FNV-fold oracle as of r4 (see q_simhash docstring)
     "minhash_signatures": q_minhash_signatures,  # closed-form OPH digest oracle (r4)
+    "text_profile": q_text_profile,  # complete profile oracle incl. lang-ID + rolling fingerprint (r4)
     # rows-only (non-SQL-expressible stages; each has a green floor/slice companion)
-    "text_profile": q_text_profile,
     "embedding_ann": q_embedding_ann,
     "block_tree_stats": q_block_tree_stats,
 }
@@ -1264,4 +1405,5 @@ ORACLES: dict[str, str] = {
     "incremental_dedup": SQL_INCREMENTAL_DEDUP,
     "simhash": SQL_SIMHASH,
     "minhash_signatures": SQL_MINHASH_SIG,
+    "text_profile": SQL_TEXT_PROFILE,
 }
