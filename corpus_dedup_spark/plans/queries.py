@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from corpus_dedup_spark.config import DedupConfig
+from corpus_dedup_spark.plans.ann_planes import PLANES_SQL as _ANN_PLANES_SQL
 
 SEARCH_QUERY = "table scan"  # no self-overlap (no proper border) → replace-count oracle
 EMB_DIM = 64  # driver testdata embedding dim (TESTDATA.md); passed explicitly so
@@ -997,10 +998,61 @@ FROM lang l JOIN fp f USING (doc_id)
 
 
 def q_embedding_ann(spark, sf_dir):
+    """Multi-table hyperplane-LSH ANN top-3 — FULL value oracle as of r4.
+
+    The whole computation is deterministic given the seeded hyperplane matrix
+    (seed=7), so SQL_EMBEDDING_ANN replays it exactly: the planes are embedded
+    as repr()-exact double literals (plans/ann_planes.py), bucket ids are the
+    little-endian sign-bit byte × FNV-prime + table salt (n_planes=8 ⇒ one
+    byte), candidates are the distinct same-bucket pairs, and cosine + window
+    rank reuse the formulation already proven bit-exact by embedding_top1.
+    Both engines fold the dot products sequentially in double, so even the
+    rank ORDERING matches bit-for-bit; cosine is emitted rounded to 4 places
+    like the top1 oracle. Residual caveat (documented, deterministic data so
+    green-once-is-green-always): numpy's blocked matmul vs SQL's sequential
+    dot could in principle disagree on the SIGN of a plane dot within ~1 ulp
+    of zero — probability ~1e-11 per dataset, and any such flip is caught by
+    the hash compare, not hidden."""
     from corpus_dedup_spark.operators.embedding_dedup import lsh_ann_topk
 
     emb = _embeddings(spark, sf_dir)
-    return lsh_ann_topk(emb, k=3, n_planes=8, n_tables=2, dim=EMB_DIM)
+    return lsh_ann_topk(emb, k=3, n_planes=8, n_tables=2, dim=EMB_DIM).select(
+        "probe_id", "neighbor_id",
+        F.round(F.col("cosine"), 4).alias("cos_r"), "rank")
+
+
+SQL_EMBEDDING_ANN = f"""
+WITH planes AS (
+  SELECT {_ANN_PLANES_SQL} AS p
+), dots AS (
+  SELECT e.vec_id, t.t, j.j,
+    list_sum(list_transform(range(1, 65),
+      i -> CAST(e.embedding[i] AS DOUBLE) * p.p[t.t * 8 + j.j + 1][i])) AS d
+  FROM embeddings e, planes p, range(0, 2) t(t), range(0, 8) j(j)
+), b AS (
+  SELECT vec_id, t,
+    CAST(sum(CASE WHEN d > 0 THEN CAST(POW(2, j) AS BIGINT) ELSE 0 END) AS BIGINT)
+      * 1099511628211 + t AS bucket
+  FROM dots GROUP BY vec_id, t
+), cand AS (
+  SELECT DISTINCT l.vec_id AS probe_id, r.vec_id AS neighbor_id
+  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id <> r.vec_id
+), scored AS (
+  SELECT c.probe_id, c.neighbor_id,
+    list_sum(list_transform(list_zip(a.embedding, bb.embedding),
+             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+     * sqrt(list_sum(list_transform(bb.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+    AS cos
+  FROM cand c
+  JOIN embeddings a ON a.vec_id = c.probe_id
+  JOIN embeddings bb ON bb.vec_id = c.neighbor_id
+)
+SELECT probe_id, neighbor_id, round(cos, 4) AS cos_r, CAST(rn AS INT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+      FROM scored) t
+WHERE rn <= 3
+"""
 
 
 def q_media_features(spark, sf_dir):
@@ -1364,8 +1416,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash": q_simhash,  # full FNV-fold oracle as of r4 (see q_simhash docstring)
     "minhash_signatures": q_minhash_signatures,  # closed-form OPH digest oracle (r4)
     "text_profile": q_text_profile,  # complete profile oracle incl. lang-ID + rolling fingerprint (r4)
-    # rows-only (non-SQL-expressible stages; each has a green floor/slice companion)
-    "embedding_ann": q_embedding_ann,
+    "embedding_ann": q_embedding_ann,  # deterministic seeded-LSH replay oracle (r4)
+    # rows-only (the tree recursion is not SQL-expressible; the tree itself is
+    # value-checked by block_tree_access/block_tree_level1)
     "block_tree_stats": q_block_tree_stats,
 }
 
@@ -1406,4 +1459,5 @@ ORACLES: dict[str, str] = {
     "simhash": SQL_SIMHASH,
     "minhash_signatures": SQL_MINHASH_SIG,
     "text_profile": SQL_TEXT_PROFILE,
+    "embedding_ann": SQL_EMBEDDING_ANN,
 }
