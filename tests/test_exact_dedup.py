@@ -135,3 +135,66 @@ def test_dedup_against_corpus(spark):
     kset = {bytes(r["norm_unit"]) for r in kept.collect()}
     cset = {bytes(r["norm_unit"]) for r in corpus_units.collect()}
     assert not (kset & cset)
+
+
+def test_local_combine_bit_identical(spark, pages):
+    """The fused extract+partition-local-combine keeper path (numpy
+    combine_keepers_flat inside one mapInArrow pass) must be bit-identical to
+    the explode+groupBy path — keepers, counts and the reassembled output."""
+    from corpus_dedup_spark.operators.exact_dedup import (
+        dedup_keepers, dedup_keepers_combined, explode_units_arrow)
+
+    base = dedup_keepers(explode_units_arrow(pages))
+    comb = dedup_keepers_combined(pages)
+    a = sorted((bytes(r["norm_unit"]), r["url"], r["unit_idx"], r["n_occ"])
+               for r in base.collect())
+    b = sorted((bytes(r["norm_unit"]), r["url"], r["unit_idx"], r["n_occ"])
+               for r in comb.collect())
+    assert a == b
+
+
+def test_local_combine_edge_cases(spark):
+    """Combine path on unicode / empty / None / heavy-dup inputs, multiple
+    partitions (so the per-partition flush runs more than once)."""
+    from corpus_dedup_spark.operators.exact_dedup import (
+        dedup_keepers, dedup_keepers_combined, explode_units_arrow)
+
+    rows = [("a", "One sentence. Two  spaced!   Third?"),
+            ("b", ""), ("c", None),
+            ("d", "ünïcode first. ascii second."),
+            ("e", "no terminator at all"),
+            ("f", "One sentence. Two  spaced!   Third?"),
+            ("g", "ünïcode first. One sentence.")]
+    # tie on the same unit at idx 0 across urls exercises keeper ordering
+    df = spark.createDataFrame(rows, ["url", "text"]).repartition(4)
+    a = sorted(map(tuple, dedup_keepers(explode_units_arrow(df)).collect()))
+    b = sorted(map(tuple, dedup_keepers_combined(df).collect()))
+    assert a == b
+
+
+def test_combine_keepers_flat_fragmentation_safe():
+    """Partial-group fragmentation is allowed; totals must still be exact.
+    Simulate a hash collision by feeding equal-length distinct contents and
+    checking sum(n_occ) + keeper-min invariants hold per content."""
+    import numpy as np
+
+    units = [b"aaa", b"bbb", b"aaa", b"ccc", b"aaa", b"bbb"]
+    values = np.frombuffer(b"".join(units), dtype=np.uint8)
+    offsets = np.zeros(len(units) + 1, dtype=np.int64)
+    np.cumsum([len(u) for u in units], out=offsets[1:])
+    url_rank = np.array([3, 2, 1, 0, 0, 0], dtype=np.int64)
+    unit_idx = np.array([0, 0, 0, 0, 1, 2], dtype=np.int64)
+    sel, n_occ, fnv = kernel.combine_keepers_flat(
+        values, offsets, url_rank, unit_idx)
+    got = {}
+    for s, k in zip(sel.tolist(), n_occ.tolist()):
+        u = units[s]
+        cur = got.get(u, (None, 0))
+        key = (url_rank[s], unit_idx[s])
+        best = key if cur[0] is None else min(cur[0], key)
+        got[u] = (best, cur[1] + k)
+    # first-wins order is lexicographic (url_rank, unit_idx):
+    #   aaa occurs at (3,0),(1,0),(0,1) -> min (0,1); bbb at (2,0),(0,2) -> (0,2)
+    assert got[b"aaa"] == ((0, 1), 3)
+    assert got[b"bbb"] == ((0, 2), 2)
+    assert got[b"ccc"] == ((0, 0), 1)
