@@ -198,3 +198,46 @@ def test_combine_keepers_flat_fragmentation_safe():
     assert got[b"aaa"] == ((0, 1), 3)
     assert got[b"bbb"] == ((0, 2), 2)
     assert got[b"ccc"] == ((0, 0), 1)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(
+    st.tuples(st.binary(min_size=0, max_size=6).map(
+        lambda b: bytes(x % 3 + 97 for x in b)),  # tiny alphabet -> collisions
+        st.integers(0, 4), st.integers(0, 9)),
+    max_size=40))
+def test_combine_keepers_flat_matches_model(rows):
+    """Fuzz combine_keepers_flat against a naive per-content model: after
+    min-reducing keepers and summing counts across fragments, every content's
+    keeper is its true (url_rank, unit_idx) minimum and counts are exact."""
+    import numpy as np
+
+    units = [u for u, _, _ in rows]
+    values = np.frombuffer(b"".join(units), dtype=np.uint8)
+    offsets = np.zeros(len(units) + 1, dtype=np.int64)
+    np.cumsum([len(u) for u in units], out=offsets[1:])
+    url_rank = np.array([r for _, r, _ in rows], dtype=np.int64)
+    unit_idx = np.array([i for _, _, i in rows], dtype=np.int64)
+    sel, n_occ, fnv = kernel.combine_keepers_flat(
+        values, offsets, url_rank, unit_idx)
+    got: dict[bytes, tuple] = {}
+    for s, k in zip(sel.tolist(), n_occ.tolist()):
+        u = units[s]
+        cur = got.get(u)
+        key = (url_rank[s], unit_idx[s])
+        got[u] = (key if cur is None else min(cur[0], key),
+                  k if cur is None else cur[1] + k)
+    want: dict[bytes, tuple] = {}
+    for u, r, i in rows:
+        cur = want.get(u)
+        want[u] = ((r, i) if cur is None else min(cur[0], (r, i)),
+                   1 if cur is None else cur[1] + 1)
+    assert got == want
+    # fnv values must be each selected row's own hash
+    if len(sel):
+        expect = kernel.fnv1a_flat(values, offsets)[sel]
+        assert (fnv == expect).all()
