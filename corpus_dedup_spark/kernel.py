@@ -1276,6 +1276,18 @@ def _flatten_unit_lists(
     return doc_idx, unit_idx, np.frombuffer(blob, dtype=np.uint8), offsets
 
 
+def _run_mask(starts: np.ndarray, lens: np.ndarray, n: int) -> np.ndarray:
+    """Boolean mask marking the disjoint runs ``[starts[i], starts[i]+lens[i])``
+    over an array of length ``n``. Runs must be sorted and non-overlapping
+    (adjacent is fine: the +1 at a start cancels the -1 at the previous end,
+    which merges the runs — byte order is unchanged). int8 cumsum is safe
+    because disjointness keeps the running value in {0, 1}."""
+    d = np.zeros(n + 1, dtype=np.int8)
+    np.add.at(d, starts, 1)
+    np.subtract.at(d, starts + lens, 1)
+    return np.cumsum(d[:-1], dtype=np.int8).view(np.bool_)
+
+
 def _assemble_units(
     arr: np.ndarray, blob: bytes, doc_all: np.ndarray, gs: np.ndarray,
     ge: np.ndarray, batch_ids: list[int], max_length: int,
@@ -1326,12 +1338,22 @@ def _assemble_units(
     if c_total:
         c_dst0 = offsets[:-1][clean]
         c_src0 = gs[clean]
-        pos = np.arange(c_total, dtype=np.int64)
-        cum = np.zeros(len(c_lens), dtype=np.int64)
-        np.cumsum(c_lens[:-1], out=cum[1:])
-        rel = pos - np.repeat(cum, c_lens)
-        values[np.repeat(c_dst0, c_lens) + rel] = \
-            arr[np.repeat(c_src0, c_lens) + rel]
+        if c_src0.size < 2 or (
+                c_src0[1:] >= c_src0[:-1] + c_lens[:-1]).all():
+            # runs are source-ordered (always true for split spans over a
+            # concatenated blob): mark them with the +1/-1 diff trick and copy
+            # mask-to-mask in ONE memory-speed pass — no O(bytes) int64 index
+            # arrays (the np.repeat gather built 4x8 bytes of index per byte
+            # copied and was the kernel's hottest line).
+            values[_run_mask(c_dst0, c_lens, len(values))] = \
+                arr[_run_mask(c_src0, c_lens, len(arr))]
+        else:  # non-monotonic spans: keep the general gather
+            pos = np.arange(c_total, dtype=np.int64)
+            cum = np.zeros(len(c_lens), dtype=np.int64)
+            np.cumsum(c_lens[:-1], out=cum[1:])
+            rel = pos - np.repeat(cum, c_lens)
+            values[np.repeat(c_dst0, c_lens) + rel] = \
+                arr[np.repeat(c_src0, c_lens) + rel]
     for j, u in zip(dirty_ids.tolist(), dirty_bytes):
         o = offsets[j]
         values[o:o + out_lens[j]] = np.frombuffer(u[:out_lens[j]],

@@ -234,3 +234,20 @@ def test_extract_units_pipeline():
 def test_extract_units_maxlen():
     units = kernel.extract_units(b"A very long sentence here. Short.", max_length=6)
     assert units == [b"A very", b"Short."]
+
+
+def test_run_mask_marks_disjoint_and_adjacent_runs():
+    import numpy as np
+
+    from corpus_dedup_spark.kernel import _run_mask
+
+    # disjoint, adjacent (runs 2 and 3 touch), and zero-length runs
+    starts = np.array([0, 4, 6, 9], dtype=np.int64)
+    lens = np.array([2, 2, 3, 0], dtype=np.int64)
+    m = _run_mask(starts, lens, 12)
+    expect = np.zeros(12, dtype=bool)
+    expect[0:2] = expect[4:6] = expect[6:9] = True
+    assert (m == expect).all()
+    # empty input
+    z = np.empty(0, dtype=np.int64)
+    assert not _run_mask(z, z, 5).any()
