@@ -1389,20 +1389,24 @@ def extract_units_batch_flat(
     if mode != "sentence":
         return _flatten_unit_lists(
             [extract_units(t, mode, max_length) for t in texts])
-    ascii_ids: list[int] = []
-    ascii_texts: list[bytes] = []
-    na_ids: list[int] = []
-    na_texts: list[bytes] = []
-    for i, t in enumerate(texts):
-        tt = t.translate(_WS_TO_SPACE)
-        if not tt:
-            continue
-        if (np.frombuffer(tt, dtype=np.uint8) & 0x80).any():
-            na_ids.append(i)
-            na_texts.append(tt)
-        else:
-            ascii_ids.append(i)
-            ascii_texts.append(tt)
+    tts = [t.translate(_WS_TO_SPACE) for t in texts]
+    lens_all = np.fromiter(map(len, tts), dtype=np.int64, count=len(tts))
+    ne = np.flatnonzero(lens_all > 0)
+    if ne.size:
+        # ASCII/non-ASCII classification in ONE pass over the concatenated
+        # bytes (bitwise-OR per doc segment), replacing a per-doc
+        # frombuffer+any round-trip
+        blob_all = b"".join(tts)
+        arr_all = np.frombuffer(blob_all, dtype=np.uint8)
+        starts_all = np.zeros(len(tts), dtype=np.int64)
+        np.cumsum(lens_all[:-1], out=starts_all[1:])
+        hi = (np.bitwise_or.reduceat(arr_all, starts_all[ne]) & 0x80) > 0
+    else:
+        hi = np.empty(0, dtype=bool)
+    ascii_ids = ne[~hi].tolist()
+    ascii_texts = [tts[i] for i in ascii_ids]
+    na_ids = ne[hi].tolist()
+    na_texts = [tts[i] for i in na_ids]
 
     parts: list[tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]] = []
     if ascii_texts:
