@@ -1297,13 +1297,15 @@ def _assemble_units(
 
     ``arr``/``blob`` hold whitespace-translated text (every byte <= 0x20 is a
     space), ``gs``/``ge`` are global byte spans, ``doc_all`` indexes
-    ``batch_ids``. Clean spans (no interior double space, no trailing space)
-    copy verbatim via one ragged gather; dirty spans re-normalize
-    individually."""
+    ``batch_ids``. Clean spans (no interior double space, no leading or
+    trailing space) copy verbatim via one ragged gather; dirty spans
+    re-normalize individually. (Sentence spans never start with whitespace;
+    the leading check exists for the full-document spans of the
+    line/paragraph/document modes.)"""
     sp = arr == 0x20
     dbl = np.flatnonzero(sp[:-1] & sp[1:])
     dirty = (np.searchsorted(dbl, gs) != np.searchsorted(dbl, ge - 1)) \
-        | sp[np.maximum(ge - 1, 0)]
+        | sp[np.maximum(ge - 1, 0)] | sp[np.minimum(gs, sp.shape[0] - 1)]
     out_lens = (ge - gs).copy()
     dirty_ids = np.flatnonzero(dirty)
     dirty_bytes: list[bytes] = []
@@ -1387,8 +1389,29 @@ def extract_units_batch_flat(
     double spaces or a trailing space — are normalized individually, typically
     a small minority)."""
     if mode != "sentence":
-        return _flatten_unit_lists(
-            [extract_units(t, mode, max_length) for t in texts])
+        if mode not in ("line", "paragraph", "document"):
+            raise ValueError(f"unknown mode: {mode!r}")
+        # After the reference's read-time newline squash (Q1,
+        # src/io_utils.c:68-88) no \n/\r bytes remain, so line and paragraph
+        # splitting DEGENERATE to one whole-document span (the U2 degeneracy
+        # quirk) — identical to document mode. One full-doc span per doc
+        # through the shared vectorized assembler; all-space docs normalize
+        # to empty and drop (P1/P2). Scalar parity pinned by hypothesis
+        # tests (batch ≡ extract_units per doc, all modes).
+        tts = [t.translate(_WS_TO_SPACE) for t in texts]
+        lens_all = np.fromiter(map(len, tts), dtype=np.int64, count=len(tts))
+        ne = np.flatnonzero(lens_all > 0)
+        if not ne.size:
+            z = np.empty(0, dtype=np.int64)
+            return z, z.copy(), np.empty(0, dtype=np.uint8), np.zeros(
+                1, np.int64)
+        blob = b"".join(tts)
+        arr = np.frombuffer(blob, dtype=np.uint8)
+        starts_all = np.zeros(len(tts), dtype=np.int64)
+        np.cumsum(lens_all[:-1], out=starts_all[1:])
+        gs = starts_all[ne]
+        return _assemble_units(arr, blob, np.arange(ne.size, dtype=np.int64),
+                               gs, gs + lens_all[ne], ne.tolist(), max_length)
     tts = [t.translate(_WS_TO_SPACE) for t in texts]
     lens_all = np.fromiter(map(len, tts), dtype=np.int64, count=len(tts))
     ne = np.flatnonzero(lens_all > 0)

@@ -174,6 +174,28 @@ def test_extract_units_batch_flat_matches_lists(texts, max_length):
     assert sum(len(x) for x in ref) == len(d)
 
 
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.text(min_size=0, max_size=120), min_size=0, max_size=12),
+       st.sampled_from(["line", "paragraph", "document"]),
+       st.sampled_from([0, 5, 40]))
+def test_extract_units_batch_flat_nonsentence_matches_scalar(
+        texts, mode, max_length):
+    """Non-sentence modes in the flat batch path ≡ the scalar extract_units
+    per doc (incl. the U2 degeneracy: post-squash, line/paragraph collapse to
+    one whole-document unit)."""
+    raw = [t.encode("utf-8") for t in texts]
+    ref = [kernel.extract_units(t, mode, max_length) for t in raw]
+    d, u, v, o = kernel.extract_units_batch_flat(raw, mode, max_length)
+    got = {}
+    for k in range(len(d)):
+        got.setdefault(int(d[k]), []).append(
+            (int(u[k]), bytes(v[o[k]:o[k + 1]])))
+    for i, units in enumerate(ref):
+        mine = [b for _, b in sorted(got.get(i, []))]
+        assert mine == units
+    assert sum(len(x) for x in ref) == len(d)
+
+
 # ---------------------------------------------------------------------------
 # Mersenne-61 second hash family (shared-block double-hash verify)
 # ---------------------------------------------------------------------------
