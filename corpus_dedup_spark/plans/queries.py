@@ -1423,6 +1423,105 @@ FROM documents WHERE length(text) >= 2
 """
 
 
+def q_url_canonical(spark, sf_dir):
+    """URL canonicalization dedup (crawl-side, pre-text). Extension surface —
+    the reference's unit is a file path (no URL stage); a web-scale corpus
+    needs scheme/host case, www., default ports, tracking params, trailing
+    slash and fragments collapsed BEFORE any text is read.
+
+    The driver tables carry no URL column, so the query synthesizes one
+    deterministically from doc_id (same formula in the oracle) with planted
+    variant spellings: ids congruent mod 210 share a canonical URL, and the
+    tracking-param form (id%3==0) merges with the plain-query form (id%3==1)
+    exactly when canonicalization is correct. Operator shape at scale: pure
+    string expressions + one hash-partitioned window min on the canonical key
+    (equivalently groupBy+join; no Python anywhere)."""
+    from corpus_dedup_spark.functions.urls import canonical_url_expr
+
+    d = F.col("id")
+    url = F.concat(
+        F.when(d % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("http")),
+        F.lit("://"),
+        F.when(d % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("Site"), (d % 7).cast("string"), F.lit(".Example.COM"),
+        F.when(d % 5 == 0,
+               F.when(d % 2 == 0, F.lit(":443")).otherwise(F.lit(":80"))
+               ).otherwise(F.lit("")),
+        F.lit("/a/"), (d % 10).cast("string"),
+        F.when(d % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 3 == 0,
+               F.concat(F.lit("?utm_source=feed&q="), (d % 2).cast("string")))
+        .when(d % 3 == 1, F.concat(F.lit("?q="), (d % 2).cast("string")))
+        .otherwise(F.lit("")),
+        F.when(d % 6 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    w = Window.partitionBy("canon_url")
+    return (
+        _docs(spark, sf_dir)
+        .select(F.col("doc_id").cast("long").alias("id"))
+        .withColumn("url", url)
+        .withColumn("canon_url", canonical_url_expr(F.col("url")))
+        .withColumn("keeper_id", F.min("id").over(w))
+        .select(F.col("id").alias("doc_id"), "url", "canon_url", "keeper_id",
+                (F.col("id") != F.col("keeper_id")).cast("long").alias("is_dup"))
+    )
+
+
+SQL_URL_CANONICAL = r"""
+WITH ids AS (
+  SELECT CAST(doc_id AS BIGINT) AS id FROM documents
+), raw AS (
+  SELECT id,
+    (CASE WHEN id % 2 = 0 THEN 'HTTPS' ELSE 'http' END) || '://' ||
+    (CASE WHEN id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+    'Site' || CAST(id % 7 AS VARCHAR) || '.Example.COM' ||
+    (CASE WHEN id % 5 = 0
+          THEN (CASE WHEN id % 2 = 0 THEN ':443' ELSE ':80' END)
+          ELSE '' END) ||
+    '/a/' || CAST(id % 10 AS VARCHAR) ||
+    (CASE WHEN id % 4 = 0 THEN '/' ELSE '' END) ||
+    (CASE WHEN id % 3 = 0 THEN '?utm_source=feed&q=' || CAST(id % 2 AS VARCHAR)
+          WHEN id % 3 = 1 THEN '?q=' || CAST(id % 2 AS VARCHAR)
+          ELSE '' END) ||
+    (CASE WHEN id % 6 = 0 THEN '#sec' ELSE '' END) AS url
+  FROM ids
+), nofrag AS (
+  SELECT id, url, regexp_replace(url, '#.*$', '', 'g') AS u FROM raw
+), parts AS (
+  SELECT id, url,
+    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))
+      AS hostport,
+    regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) AS rest0
+  FROM nofrag
+), fixed AS (
+  SELECT id, url, scheme,
+    CASE WHEN scheme = 'http'
+         THEN regexp_replace(regexp_replace(hostport, '^www\.', '', 'g'),
+                             ':80$', '', 'g')
+         WHEN scheme = 'https'
+         THEN regexp_replace(regexp_replace(hostport, '^www\.', '', 'g'),
+                             ':443$', '', 'g')
+         ELSE regexp_replace(hostport, '^www\.', '', 'g') END AS host,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(
+        rest0, '(utm_[a-z]+|gclid|fbclid)=[^&#]*', '', 'g'),
+      '\?&+', '?', 'g'), '&&+', '&', 'g'), '[?&]+$', '', 'g'),
+      '/\?', '?', 'g'), '/$', '', 'g') AS rest1
+  FROM parts
+), canon AS (
+  SELECT id, url,
+    scheme || '://' || host ||
+    (CASE WHEN rest1 = '' THEN '/' ELSE rest1 END) AS canon_url
+  FROM fixed
+)
+SELECT id AS doc_id, url, canon_url,
+       min(id) OVER (PARTITION BY canon_url) AS keeper_id,
+       CAST(id <> min(id) OVER (PARTITION BY canon_url) AS BIGINT) AS is_dup
+FROM canon
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1468,6 +1567,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_profile": q_text_profile,  # complete profile oracle incl. lang-ID + rolling fingerprint (r4)
     "embedding_ann": q_embedding_ann,  # deterministic seeded-LSH replay oracle (r4)
     "block_tree_stats": q_block_tree_stats,  # recursive-CTE tree replay oracle (r4)
+    "url_canonical": q_url_canonical,  # crawl-side URL canonicalization (r4)
 }
 
 ORACLES: dict[str, str] = {
@@ -1509,4 +1609,5 @@ ORACLES: dict[str, str] = {
     "text_profile": SQL_TEXT_PROFILE,
     "embedding_ann": SQL_EMBEDDING_ANN,
     "block_tree_stats": SQL_BLOCK_TREE_STATS,
+    "url_canonical": SQL_URL_CANONICAL,
 }
