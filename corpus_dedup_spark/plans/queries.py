@@ -1522,6 +1522,49 @@ FROM canon
 """
 
 
+def q_boilerplate_bigrams(spark, sf_dir):
+    """C4-style corpus-frequency boilerplate: per doc, how many bigram
+    positions carry a bigram that occurs in >= K distinct documents
+    (operators/boilerplate.py; extension surface — the reference has no
+    corpus-frequency filter). Distinct-pair shuffle + >=K head filter +
+    AQE-chosen join; no Python. K=29 here (the operator default is C4's 3):
+    the driver corpus's small vocabulary centers bigram doc-frequency at ~27,
+    so 29 is the median-splitting threshold that makes the oracle
+    discriminate; C4's 3 would flag 99.9% of grams on this synthetic input."""
+    from corpus_dedup_spark.operators.boilerplate import boilerplate_ngram_stats
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+    return boilerplate_ngram_stats(docs, n=2, min_docs=29)
+
+
+SQL_BOILERPLATE_BIGRAMS = """
+WITH grams AS (
+  SELECT CAST(t.doc_id AS BIGINT) AS id, u.g AS g
+  FROM (SELECT doc_id,
+          CASE WHEN len(l) >= 2
+            THEN list_transform(generate_series(1, len(l) - 1),
+                                i -> l[i] || ' ' || l[i+1])
+            ELSE [] END AS gs
+        FROM (SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '')
+                AS l FROM documents)) t,
+       UNNEST(t.gs) AS u(g)
+), boiler AS (
+  SELECT g FROM (SELECT g, count(DISTINCT id) AS c FROM grams GROUP BY g)
+  WHERE c >= 29
+), per AS (
+  SELECT id, count(*) AS n_grams,
+         CAST(sum(CASE WHEN g IN (SELECT g FROM boiler) THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_boiler
+  FROM grams GROUP BY id
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       coalesce(per.n_grams, 0) AS n_grams,
+       coalesce(per.n_boiler, 0) AS n_boiler
+FROM documents d LEFT JOIN per ON CAST(d.doc_id AS BIGINT) = per.id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1568,6 +1611,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_ann": q_embedding_ann,  # deterministic seeded-LSH replay oracle (r4)
     "block_tree_stats": q_block_tree_stats,  # recursive-CTE tree replay oracle (r4)
     "url_canonical": q_url_canonical,  # crawl-side URL canonicalization (r4)
+    "boilerplate_bigrams": q_boilerplate_bigrams,  # C4-style corpus-frequency filter (r4)
 }
 
 ORACLES: dict[str, str] = {
@@ -1610,4 +1654,5 @@ ORACLES: dict[str, str] = {
     "embedding_ann": SQL_EMBEDDING_ANN,
     "block_tree_stats": SQL_BLOCK_TREE_STATS,
     "url_canonical": SQL_URL_CANONICAL,
+    "boilerplate_bigrams": SQL_BOILERPLATE_BIGRAMS,
 }
