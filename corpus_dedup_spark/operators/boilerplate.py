@@ -65,3 +65,43 @@ def boilerplate_ngram_stats(docs: DataFrame, n: int = 2, min_docs: int = 3,
             F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
             F.coalesce(F.col("n_boiler"), F.lit(0)).alias("n_boiler"))
     )
+
+
+def repetition_ngram_stats(docs: DataFrame, n: int = 2, id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """Gopher-style INTRA-document repetition signal (Rae et al. 2021, A1.1:
+    "fraction of duplicate n-grams"): per document,
+
+    - ``n_grams``      — gram positions,
+    - ``n_distinct``   — distinct grams,
+    - ``top_count``    — occurrences of the most frequent gram,
+    - ``dup_frac_ppm`` — floor((n_grams - n_distinct) * 1e6 / n_grams)
+      (0 when the doc has no grams).
+
+    Integer outputs by design (parts-per-million) so the result is exactly
+    SQL-replayable. Doc-local: one groupBy (id, gram) + one groupBy id —
+    both partial-aggregate map-side; at 10^12 docs the (id, gram) key is
+    near-unique so the first shuffle carries ~the gram stream once. A repeated
+    gram is what it sounds like; filtering policy (Gopher drops docs with
+    dup_frac over a threshold) composes downstream."""
+    base = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(ngram_array(F.col(text_col), n)).alias("g"))
+    per = (
+        base.groupBy("_id", "g").agg(F.count("*").alias("c"))
+        .groupBy("_id")
+        .agg(F.sum("c").alias("n_grams"),
+             F.count("*").alias("n_distinct"),
+             F.max("c").alias("top_count")))
+    return (
+        docs.select(F.col(id_col).alias("_id")).join(per, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+            F.coalesce(F.col("n_distinct"), F.lit(0)).alias("n_distinct"),
+            F.coalesce(F.col("top_count"), F.lit(0)).alias("top_count"),
+            F.when(F.coalesce(F.col("n_grams"), F.lit(0)) > 0,
+                   F.floor((F.col("n_grams") - F.col("n_distinct"))
+                           * F.lit(1000000) / F.col("n_grams")))
+            .otherwise(F.lit(0)).cast("long").alias("dup_frac_ppm"))
+    )

@@ -1565,6 +1565,47 @@ FROM documents d LEFT JOIN per ON CAST(d.doc_id AS BIGINT) = per.id
 """
 
 
+def q_repetition_bigrams(spark, sf_dir):
+    """Gopher-style intra-document repetition (duplicate-bigram fraction, in
+    ppm so the output is pure integers; operators/boilerplate.py). Extension
+    surface; doc-local aggregation, both stages partial-combine."""
+    from corpus_dedup_spark.operators.boilerplate import repetition_ngram_stats
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+    return repetition_ngram_stats(docs, n=2)
+
+
+SQL_REPETITION_BIGRAMS = """
+WITH grams AS (
+  SELECT CAST(t.doc_id AS BIGINT) AS id, u.g AS g
+  FROM (SELECT doc_id,
+          CASE WHEN len(l) >= 2
+            THEN list_transform(generate_series(1, len(l) - 1),
+                                i -> l[i] || ' ' || l[i+1])
+            ELSE [] END AS gs
+        FROM (SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '')
+                AS l FROM documents)) t,
+       UNNEST(t.gs) AS u(g)
+), per_gram AS (
+  SELECT id, g, count(*) AS c FROM grams GROUP BY id, g
+), per AS (
+  SELECT id, CAST(sum(c) AS BIGINT) AS n_grams,
+         count(*) AS n_distinct, CAST(max(c) AS BIGINT) AS top_count
+  FROM per_gram GROUP BY id
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       coalesce(per.n_grams, 0) AS n_grams,
+       coalesce(per.n_distinct, 0) AS n_distinct,
+       coalesce(per.top_count, 0) AS top_count,
+       CASE WHEN coalesce(per.n_grams, 0) > 0
+            THEN CAST(floor((per.n_grams - per.n_distinct) * 1000000.0
+                            / per.n_grams) AS BIGINT)
+            ELSE 0 END AS dup_frac_ppm
+FROM documents d LEFT JOIN per ON CAST(d.doc_id AS BIGINT) = per.id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1612,6 +1653,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "block_tree_stats": q_block_tree_stats,  # recursive-CTE tree replay oracle (r4)
     "url_canonical": q_url_canonical,  # crawl-side URL canonicalization (r4)
     "boilerplate_bigrams": q_boilerplate_bigrams,  # C4-style corpus-frequency filter (r4)
+    "repetition_bigrams": q_repetition_bigrams,  # Gopher-style doc-internal repetition (r4)
 }
 
 ORACLES: dict[str, str] = {
@@ -1655,4 +1697,5 @@ ORACLES: dict[str, str] = {
     "block_tree_stats": SQL_BLOCK_TREE_STATS,
     "url_canonical": SQL_URL_CANONICAL,
     "boilerplate_bigrams": SQL_BOILERPLATE_BIGRAMS,
+    "repetition_bigrams": SQL_REPETITION_BIGRAMS,
 }

@@ -47,3 +47,20 @@ def test_trigram_mode(spark):
     got = {r["doc_id"]: (r["n_grams"], r["n_boiler"])
            for r in boilerplate_ngram_stats(df, n=3, min_docs=3).collect()}
     assert got == {"a": (2, 1), "b": (1, 1), "c": (1, 1)}
+
+
+def test_repetition_stats_planted(spark):
+    from corpus_dedup_spark.operators.boilerplate import repetition_ngram_stats
+
+    rows = [
+        ("a", "x y x y x y"),   # grams: xy yx xy yx xy -> 5 pos, 2 distinct, top 3
+        ("b", "p q r s"),       # 3 pos, 3 distinct, top 1
+        ("c", "solo"),          # 0 grams
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: (r["n_grams"], r["n_distinct"], r["top_count"],
+                         r["dup_frac_ppm"])
+           for r in repetition_ngram_stats(df, n=2).collect()}
+    assert got["a"] == (5, 2, 3, 600000)
+    assert got["b"] == (3, 3, 1, 0)
+    assert got["c"] == (0, 0, 0, 0)
