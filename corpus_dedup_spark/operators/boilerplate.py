@@ -67,6 +67,42 @@ def boilerplate_ngram_stats(docs: DataFrame, n: int = 2, min_docs: int = 3,
     )
 
 
+def decontaminate_ngram_hits(corpus: DataFrame, benchmark: DataFrame,
+                             n: int = 13, id_col: str = "doc_id",
+                             text_col: str = "text") -> DataFrame:
+    """Train/test decontamination: per corpus document, how many DISTINCT
+    benchmark n-grams it contains (GPT-3 appendix C / Brown et al. 2020 use
+    13-gram overlap; pass ``n`` to taste). ``n_hits > 0`` ⇒ the doc leaks
+    evaluation data and should be dropped or scrubbed — policy composes
+    downstream, this operator only measures.
+
+    Shape at 10^12 docs: the benchmark gram set is tiny next to the corpus
+    (thousands of eval docs vs billions of pages) — distinct it once and let
+    AQE broadcast it; the corpus side streams one explode + semi-style left
+    join + partial-combining count, never materializing corpus grams."""
+    bench_grams = (
+        benchmark.select(
+            F.explode(ngram_array(F.col(text_col), n)).alias("g"))
+        .distinct()
+        .withColumn("_hit", F.lit(1)))
+    corpus_grams = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(ngram_array(F.col(text_col), n)))
+        .alias("g"))
+    per = (
+        corpus_grams.join(bench_grams, "g", "left")
+        .groupBy("_id")
+        .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hits")))
+    return (
+        corpus.select(F.col(id_col).alias("_id")).join(per, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).cast("long")
+            .alias("is_contaminated"))
+    )
+
+
 def repetition_ngram_stats(docs: DataFrame, n: int = 2, id_col: str = "doc_id",
                            text_col: str = "text") -> DataFrame:
     """Gopher-style INTRA-document repetition signal (Rae et al. 2021, A1.1:

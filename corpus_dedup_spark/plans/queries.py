@@ -1606,6 +1606,48 @@ FROM documents d LEFT JOIN per ON CAST(d.doc_id AS BIGINT) = per.id
 """
 
 
+def q_decontamination(spark, sf_dir):
+    """Train/test decontamination (GPT-3-style n-gram overlap;
+    operators/boilerplate.decontaminate_ngram_hits). The benchmark set is
+    every 50th document (a deterministic stand-in for an eval suite); n=8
+    because driver docs run 25-60 tokens. Benchmark grams broadcast; corpus
+    side is one explode + left join + partial-combining count."""
+    from corpus_dedup_spark.operators.boilerplate import decontaminate_ngram_hits
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    return decontaminate_ngram_hits(docs, bench, n=8)
+
+
+SQL_DECONTAMINATION = """
+WITH toks AS (
+  SELECT CAST(doc_id AS BIGINT) AS id,
+         list_filter(str_split(text, ' '), x -> x <> '') AS l
+  FROM documents
+), grams AS (
+  SELECT id, list_distinct(CASE WHEN len(l) >= 8
+    THEN list_transform(generate_series(1, len(l) - 7),
+      i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' ||
+           l[i+4] || ' ' || l[i+5] || ' ' || l[i+6] || ' ' || l[i+7])
+    ELSE [] END) AS gs
+  FROM toks
+), corpus_g AS (
+  SELECT id, u.g AS g FROM grams, UNNEST(grams.gs) AS u(g)
+), bench_g AS (
+  SELECT DISTINCT g FROM corpus_g WHERE id % 50 = 0
+), per AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS n_hits
+  FROM corpus_g WHERE g IN (SELECT g FROM bench_g) GROUP BY id
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       coalesce(per.n_hits, 0) AS n_hits,
+       CAST(CASE WHEN coalesce(per.n_hits, 0) > 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS is_contaminated
+FROM documents d LEFT JOIN per ON CAST(d.doc_id AS BIGINT) = per.id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1654,6 +1696,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_canonical": q_url_canonical,  # crawl-side URL canonicalization (r4)
     "boilerplate_bigrams": q_boilerplate_bigrams,  # C4-style corpus-frequency filter (r4)
     "repetition_bigrams": q_repetition_bigrams,  # Gopher-style doc-internal repetition (r4)
+    "decontamination": q_decontamination,  # GPT-3-style eval-overlap flagging (r4)
 }
 
 ORACLES: dict[str, str] = {
@@ -1698,4 +1741,5 @@ ORACLES: dict[str, str] = {
     "url_canonical": SQL_URL_CANONICAL,
     "boilerplate_bigrams": SQL_BOILERPLATE_BIGRAMS,
     "repetition_bigrams": SQL_REPETITION_BIGRAMS,
+    "decontamination": SQL_DECONTAMINATION,
 }

@@ -64,3 +64,19 @@ def test_repetition_stats_planted(spark):
     assert got["a"] == (5, 2, 3, 600000)
     assert got["b"] == (3, 3, 1, 0)
     assert got["c"] == (0, 0, 0, 0)
+
+
+def test_decontamination_planted(spark):
+    from corpus_dedup_spark.operators.boilerplate import decontaminate_ngram_hits
+
+    corpus = spark.createDataFrame([
+        ("a", "the quick brown fox jumps"),       # contains bench trigram
+        ("b", "totally unrelated words here"),
+        ("c", "quick brown fox elsewhere too"),   # contains bench trigram
+        ("d", "sly quick brown trap"),            # 'quick brown' bigram only
+    ], ["doc_id", "text"])
+    bench = spark.createDataFrame(
+        [("q1", "quick brown fox")], ["doc_id", "text"])
+    got = {r["doc_id"]: (r["n_hits"], r["is_contaminated"])
+           for r in decontaminate_ngram_hits(corpus, bench, n=3).collect()}
+    assert got == {"a": (1, 1), "b": (0, 0), "c": (1, 1), "d": (0, 0)}
