@@ -246,3 +246,32 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         rolling_fingerprint_udf(c).alias("fingerprint"),
         *[v.alias(k) for k, v in feats.items() if k not in ("n_chars",)],
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (extension — ROOTS/BigScience-style redaction; the reference
+# has no PII stage). Pure JVM regexp pipeline, patterns restricted to the
+# Java-regex ∩ RE2 dialect so a SQL oracle can replay them verbatim.
+# ---------------------------------------------------------------------------
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\b\d{3}-\d{3,4}-\d{3,4}\b"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-document PII match counts (emails, phone-shaped numbers, IPv4)."""
+    return {
+        "n_emails": F.regexp_count(text, F.lit(PII_EMAIL)),
+        "n_phones": F.regexp_count(text, F.lit(PII_PHONE)),
+        "n_ips": F.regexp_count(text, F.lit(PII_IPV4)),
+    }
+
+
+def scrub_pii_expr(text: Column) -> Column:
+    """Redact PII in place with typed placeholders. Email first — an email's
+    host part could otherwise be half-eaten by the IP rule; the remaining two
+    patterns are disjoint (digit-dash vs digit-dot shapes)."""
+    out = F.regexp_replace(text, PII_EMAIL, "<EMAIL>")
+    out = F.regexp_replace(out, PII_PHONE, "<PHONE>")
+    return F.regexp_replace(out, PII_IPV4, "<IP>")

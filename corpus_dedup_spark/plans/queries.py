@@ -1648,6 +1648,75 @@ FROM documents d LEFT JOIN per ON CAST(d.doc_id AS BIGINT) = per.id
 """
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction (ROOTS/BigScience-style; functions/text.scrub_pii_expr).
+    Extension surface — the reference has no PII stage. The driver corpus is
+    letters-only, so emails / phone-shaped numbers / IPv4s are planted
+    deterministically from doc_id (same formula in the oracle); the scrubbed
+    text itself is value-hashed, so a half-eaten or missed redaction fails
+    the oracle, not just the counts. Pure JVM regexps, patterns restricted
+    to the Java∩RE2 dialect."""
+    from corpus_dedup_spark.functions.text import pii_counts, scrub_pii_expr
+
+    d = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(d % 3 == 0, F.concat(
+            F.lit(" contact user"), d.cast("string"), F.lit("@mail"),
+            (d % 5).cast("string"), F.lit(".example.org"))).otherwise(F.lit("")),
+        F.when(d % 4 == 0, F.concat(
+            F.lit(" call 555-123-"),
+            (d % 9000 + 1000).cast("string"))).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.concat(
+            F.lit(" from 10."), (d % 200).cast("string"), F.lit("."),
+            (d % 250).cast("string"), F.lit("."),
+            (d % 100).cast("string"))).otherwise(F.lit("")),
+    )
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+    t = docs.withColumn("t", aug)
+    cnt = pii_counts(F.col("t"))
+    return t.select(
+        "doc_id",
+        cnt["n_emails"].cast("long").alias("n_emails"),
+        cnt["n_phones"].cast("long").alias("n_phones"),
+        cnt["n_ips"].cast("long").alias("n_ips"),
+        scrub_pii_expr(F.col("t")).alias("scrubbed"),
+    )
+
+
+SQL_PII_SCRUB = r"""
+WITH base AS (
+  SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents
+), aug AS (
+  SELECT id, text ||
+    (CASE WHEN id % 3 = 0
+          THEN ' contact user' || CAST(id AS VARCHAR) || '@mail' ||
+               CAST(id % 5 AS VARCHAR) || '.example.org' ELSE '' END) ||
+    (CASE WHEN id % 4 = 0
+          THEN ' call 555-123-' || CAST(id % 9000 + 1000 AS VARCHAR)
+          ELSE '' END) ||
+    (CASE WHEN id % 5 = 0
+          THEN ' from 10.' || CAST(id % 200 AS VARCHAR) || '.' ||
+               CAST(id % 250 AS VARCHAR) || '.' || CAST(id % 100 AS VARCHAR)
+          ELSE '' END) AS t
+  FROM base
+)
+SELECT id AS doc_id,
+  CAST(len(regexp_extract_all(t,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(t,
+    '\b\d{3}-\d{3,4}-\d{3,4}\b')) AS BIGINT) AS n_phones,
+  CAST(len(regexp_extract_all(t,
+    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+  regexp_replace(regexp_replace(regexp_replace(t,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '\b\d{3}-\d{3,4}-\d{3,4}\b', '<PHONE>', 'g'),
+    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS scrubbed
+FROM aug
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1697,6 +1766,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boilerplate_bigrams": q_boilerplate_bigrams,  # C4-style corpus-frequency filter (r4)
     "repetition_bigrams": q_repetition_bigrams,  # Gopher-style doc-internal repetition (r4)
     "decontamination": q_decontamination,  # GPT-3-style eval-overlap flagging (r4)
+    "pii_scrub": q_pii_scrub,  # ROOTS-style PII redaction (r4)
 }
 
 ORACLES: dict[str, str] = {
@@ -1742,4 +1812,5 @@ ORACLES: dict[str, str] = {
     "boilerplate_bigrams": SQL_BOILERPLATE_BIGRAMS,
     "repetition_bigrams": SQL_REPETITION_BIGRAMS,
     "decontamination": SQL_DECONTAMINATION,
+    "pii_scrub": SQL_PII_SCRUB,
 }

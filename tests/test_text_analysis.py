@@ -80,3 +80,27 @@ def test_text_profile_runs(spark, samples):
     assert {"lang_pred", "quality", "n_tokens_ws", "n_tokens_bpe", "fingerprint",
             "alpha_ratio", "stopword_ratio"} <= set(out.columns)
     assert out.count() == samples.count()
+
+
+def test_pii_scrub_cases(spark):
+    import pyspark.sql.functions as F
+
+    from corpus_dedup_spark.functions.text import pii_counts, scrub_pii_expr
+
+    rows = [
+        ("a", "mail me at jo.doe+x@sub.example.org today"),
+        ("b", "call 555-123-4567 or 011-9999-333 now"),
+        ("c", "server at 192.168.0.1 and 10.0.0.255"),
+        ("d", "no pii here, just 1234 and a.b"),
+        ("e", "x@y.io 1.2.3.4 555-000-0000"),
+    ]
+    df = spark.createDataFrame(rows, ["k", "t"])
+    c = pii_counts(F.col("t"))
+    got = {r["k"]: (r["e"], r["p"], r["i"], r["s"]) for r in df.select(
+        "k", c["n_emails"].alias("e"), c["n_phones"].alias("p"),
+        c["n_ips"].alias("i"), scrub_pii_expr(F.col("t")).alias("s")).collect()}
+    assert got["a"] == (1, 0, 0, "mail me at <EMAIL> today")
+    assert got["b"] == (0, 2, 0, "call <PHONE> or <PHONE> now")
+    assert got["c"] == (0, 0, 2, "server at <IP> and <IP>")
+    assert got["d"] == (0, 0, 0, "no pii here, just 1234 and a.b")
+    assert got["e"] == (1, 1, 1, "<EMAIL> <IP> <PHONE>")
