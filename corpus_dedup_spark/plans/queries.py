@@ -1455,16 +1455,18 @@ def q_url_canonical(spark, sf_dir):
         .otherwise(F.lit("")),
         F.when(d % 6 == 0, F.lit("#sec")).otherwise(F.lit("")),
     )
-    w = Window.partitionBy("canon_url")
-    return (
+    base = (
         _docs(spark, sf_dir)
         .select(F.col("doc_id").cast("long").alias("id"))
         .withColumn("url", url)
-        .withColumn("canon_url", canonical_url_expr(F.col("url")))
-        .withColumn("keeper_id", F.min("id").over(w))
-        .select(F.col("id").alias("doc_id"), "url", "canon_url", "keeper_id",
-                (F.col("id") != F.col("keeper_id")).cast("long").alias("is_dup"))
-    )
+        .withColumn("canon_url", canonical_url_expr(F.col("url"))))
+    # keeper via partial-combining agg + join (AQE broadcasts the keeper
+    # table), not a window — a window min would hash-partition AND sort every
+    # row per canonical key; the agg combines map-side first
+    keepers = base.groupBy("canon_url").agg(F.min("id").alias("keeper_id"))
+    return base.join(keepers, "canon_url").select(
+        F.col("id").alias("doc_id"), "url", "canon_url", "keeper_id",
+        (F.col("id") != F.col("keeper_id")).cast("long").alias("is_dup"))
 
 
 SQL_URL_CANONICAL = r"""
