@@ -209,7 +209,8 @@ def main() -> None:
     if not args.skip_queries:
         for qname in ("token_jaccard_pairs", "cc_bucket_clusters",
                       "substring_search", "embedding_top1", "event_hourly",
-                      "sentence_dedup_pages"):
+                      "sentence_dedup_pages", "boilerplate_bigrams",
+                      "url_canonical"):
             t_best = float("inf")
             for _ in range(q_repeats):
                 spark.catalog.clearCache()
