@@ -207,17 +207,20 @@ def main() -> None:
     # reads as a phantom regression round-over-round)
     q_repeats = int(os.environ.get("BENCH_QUERY_REPEATS", "2"))
     if not args.skip_queries:
-        for qname in ("token_jaccard_pairs", "cc_bucket_clusters",
-                      "substring_search", "embedding_top1", "event_hourly",
-                      "sentence_dedup_pages", "boilerplate_bigrams",
-                      "url_canonical"):
-            t_best = float("inf")
-            for _ in range(q_repeats):
+        # repeats INTERLEAVED across queries (repeat loop outside), like the
+        # headline legs: co-tenant storms last minutes, so back-to-back repeats
+        # of one query land inside the same storm and best-of-N saves nothing
+        q_names = ("token_jaccard_pairs", "cc_bucket_clusters",
+                   "substring_search", "embedding_top1", "event_hourly",
+                   "sentence_dedup_pages", "boilerplate_bigrams",
+                   "url_canonical")
+        for _ in range(q_repeats):
+            for qname in q_names:
                 spark.catalog.clearCache()
                 t0 = time.time()
                 QUERIES[qname](spark, args.sf_dir).count()
-                t_best = min(t_best, time.time() - t0)
-            timings[qname] = round(t_best, 3)
+                t = round(time.time() - t0, 3)
+                timings[qname] = min(timings.get(qname, float("inf")), t)
 
         # indexed search: the index is built ONCE per window size (the production
         # shape — src/search_mode.c builds its tables once per session); probes are
