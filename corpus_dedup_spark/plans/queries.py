@@ -1719,6 +1719,32 @@ FROM aug
 """
 
 
+def q_corpus_rollup(spark, sf_dir):
+    """Corpus statistics at every grouping level in one pass — ROLLUP
+    (source, lang) → per-(source,lang), per-source, and grand-total rows.
+    The multi-level aggregation surface (Spark ``rollup`` ≡ SQL ROLLUP):
+    one shuffle produces all levels via partial aggregation, which is how a
+    100 TB corpus dashboard should be computed — never one job per level."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.rollup("source", "lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_chars").alias("sum_chars"),
+             F.sum(F.size(F.filter(F.split(F.col("text"), " "),
+                                   lambda x: x != ""))).alias("sum_tokens"))
+    )
+
+
+SQL_CORPUS_ROLLUP = """
+SELECT source, lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum(len(list_filter(str_split(text, ' '), x -> x <> '')))
+            AS BIGINT) AS sum_tokens
+FROM documents
+GROUP BY ROLLUP (source, lang)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1769,6 +1795,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_bigrams": q_repetition_bigrams,  # Gopher-style doc-internal repetition (r4)
     "decontamination": q_decontamination,  # GPT-3-style eval-overlap flagging (r4)
     "pii_scrub": q_pii_scrub,  # ROOTS-style PII redaction (r4)
+    "corpus_rollup": q_corpus_rollup,  # multi-level ROLLUP stats (r4)
 }
 
 ORACLES: dict[str, str] = {
@@ -1815,4 +1842,5 @@ ORACLES: dict[str, str] = {
     "repetition_bigrams": SQL_REPETITION_BIGRAMS,
     "decontamination": SQL_DECONTAMINATION,
     "pii_scrub": SQL_PII_SCRUB,
+    "corpus_rollup": SQL_CORPUS_ROLLUP,
 }
