@@ -40,8 +40,11 @@ def _norm(v):
 
 def _rowset(cols, rows):
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    # sort key on repr like the driver does — raw tuples with NULLs (e.g.
+    # ROLLUP subtotal rows) aren't orderable against strings
     return sorted(
-        tuple(_norm(row[i]) for i in idx) for row in rows
+        (tuple(_norm(row[i]) for i in idx) for row in rows),
+        key=lambda t: tuple(repr(v) for v in t),
     ), [cols[i] for i in idx]
 
 
