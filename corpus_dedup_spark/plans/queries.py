@@ -1745,6 +1745,32 @@ GROUP BY ROLLUP (source, lang)
 """
 
 
+def q_source_medians(spark, sf_dir):
+    """Exact per-source length medians + IQR bounds — the ordered-statistics
+    aggregate surface (Spark `percentile` ≡ SQL quantile_cont, both linear
+    interpolation over the sorted values). Scaled by 4 and cast to BIGINT: quantile positions q*(n-1) for q in
+    {.25,.5,.75} land on a quarter-grid, so 4x the interpolated value of
+    integer inputs is always integer-exact across engines. Exact percentile sorts per group; at 100 TB use
+    approx_percentile for dashboards and keep this for audited reports."""
+    docs = _docs(spark, sf_dir)
+    g = docs.groupBy("source")
+    return g.agg(
+        F.count("*").alias("n_docs"),
+        (F.percentile("n_chars", F.lit(0.25)) * 4).cast("long").alias("q1_x4"),
+        (F.percentile("n_chars", F.lit(0.5)) * 4).cast("long").alias("med_x4"),
+        (F.percentile("n_chars", F.lit(0.75)) * 4).cast("long").alias("q3_x4"),
+    )
+
+
+SQL_SOURCE_MEDIANS = """
+SELECT source, count(*) AS n_docs,
+       CAST(4 * quantile_cont(n_chars, 0.25) AS BIGINT) AS q1_x4,
+       CAST(4 * quantile_cont(n_chars, 0.5)  AS BIGINT) AS med_x4,
+       CAST(4 * quantile_cont(n_chars, 0.75) AS BIGINT) AS q3_x4
+FROM documents GROUP BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1796,6 +1822,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontamination": q_decontamination,  # GPT-3-style eval-overlap flagging (r4)
     "pii_scrub": q_pii_scrub,  # ROOTS-style PII redaction (r4)
     "corpus_rollup": q_corpus_rollup,  # multi-level ROLLUP stats (r4)
+    "source_medians": q_source_medians,  # exact ordered-statistics agg (r4)
 }
 
 ORACLES: dict[str, str] = {
@@ -1843,4 +1870,5 @@ ORACLES: dict[str, str] = {
     "decontamination": SQL_DECONTAMINATION,
     "pii_scrub": SQL_PII_SCRUB,
     "corpus_rollup": SQL_CORPUS_ROLLUP,
+    "source_medians": SQL_SOURCE_MEDIANS,
 }
