@@ -1174,15 +1174,25 @@ SQL_SIMHASH_FLOOR = SQL_MINHASH_SIG_FLOOR
 
 def q_block_tree_stats(spark, sf_dir):
     """Per-level marked/pointer counts of the Block Tree — FULL value oracle
-    as of r4: SQL_BLOCK_TREE_STATS replays the whole construction as a
-    recursive CTE. The recursion is exact, not approximated: level-0 root per
-    non-empty (squashed) doc; each marked node of length > 1 splits into
+    as of r4: SQL_BLOCK_TREE_STATS replays the whole construction level by
+    level. The replay is exact, not approximated: level-0 root per non-empty
+    (squashed) doc; each marked node of length > 1 splits into
     (floor(l/2), l - floor(l/2)) children (s = tau = 2, the reference's call
     sites); a child is marked iff it is the FIRST occurrence (min start_pos)
     of its CONTENT among the level's blocks — content compared directly via
     substr, which is the decision the engine's hash+memcmp election computes
     (the hash is an accelerator, never the identity — quirk Q6). Pointer
-    nodes do not recurse; depth capped at 40 on both sides. This value-checks
+    nodes do not recurse; depth capped at 40 on both sides.
+
+    r5 portability fix: the r4 oracle put a window function inside the
+    recursive arm of a RECURSIVE CTE — a construct whose evaluation order
+    varies across DuckDB releases (locally value-identical, driver-red). The
+    depth cap makes recursion unnecessary: the construction is now UNROLLED
+    into 40 chained PLAIN CTEs (ch_k = children of lvl_{k-1}'s marked nodes;
+    lvl_k marks via ``min(start_pos) OVER (PARTITION BY doc, content)`` — a
+    window in a non-recursive CTE, which is well-defined SQL everywhere).
+    Levels past the corpus' actual depth are empty and vanish in the final
+    GROUP BY, exactly as the engine emits no rows there. This value-checks
     node counts, marking decisions, and recursion shape at every level.
     (The r3 .limit(50) was replaced by doc_id < 50: LIMIT without ORDER is
     not a deterministic row set, so it could never be value-checked.)"""
@@ -1194,36 +1204,54 @@ def q_block_tree_stats(spark, sf_dir):
     return tree_stats(build_block_tree(docs, id_col="doc_id"))
 
 
-SQL_BLOCK_TREE_STATS = r"""
-WITH RECURSIVE sq AS (
+def _block_tree_stats_sql(max_levels: int = 40) -> str:
+    """Build the unrolled (non-recursive) block-tree-stats oracle SQL.
+
+    One ``ch{k}``/``lvl{k}`` pair per level up to the engine's depth cap;
+    every construct used (plain CTE chain, unnest(generate_series),
+    ``min() OVER`` without frame/order) is stable across DuckDB versions —
+    unlike the r4 window-inside-recursive-CTE this replaces."""
+    parts = [r"""WITH sq AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id,
          replace(replace(text, chr(10), ' '), chr(13), ' ') AS text
   FROM documents WHERE doc_id < 50
-), tree AS (
-  SELECT doc_id, CAST(0 AS BIGINT) AS level, CAST(0 AS BIGINT) AS start_pos,
+), lvl0 AS (
+  SELECT doc_id, CAST(0 AS BIGINT) AS start_pos,
          CAST(length(text) AS BIGINT) AS length, true AS is_marked
   FROM sq WHERE length(text) > 0
-  UNION ALL
-  SELECT doc_id, level, start_pos, length,
-         row_number() OVER (PARTITION BY doc_id, level, content
-                            ORDER BY start_pos) = 1 AS is_marked
-  FROM (
-    SELECT t.doc_id, t.level + 1 AS level,
-           t.start_pos + c.j * (t.length // 2) AS start_pos,
-           CASE WHEN c.j = 0 THEN t.length // 2
-                ELSE t.length - (t.length // 2) END AS length,
-           substr(s.text, CAST(t.start_pos + c.j * (t.length // 2) + 1 AS INT),
-                  CAST(CASE WHEN c.j = 0 THEN t.length // 2
-                       ELSE t.length - (t.length // 2) END AS INT)) AS content
-    FROM tree t JOIN sq s USING (doc_id), range(0, 2) c(j)
-    WHERE t.is_marked AND t.length > 1 AND t.level < 40
-  )
-)
+)"""]
+    for k in range(1, max_levels + 1):
+        parts.append(f""", ch{k} AS (
+  SELECT t.doc_id,
+         t.start_pos + c.j * (t.length // 2) AS start_pos,
+         CASE WHEN c.j = 0 THEN t.length // 2
+              ELSE t.length - (t.length // 2) END AS length,
+         substr(s.text, CAST(t.start_pos + c.j * (t.length // 2) + 1 AS INT),
+                CAST(CASE WHEN c.j = 0 THEN t.length // 2
+                     ELSE t.length - (t.length // 2) END AS INT)) AS content
+  FROM lvl{k - 1} t JOIN sq s USING (doc_id),
+       (SELECT unnest(generate_series(0, 1)) AS j) c
+  WHERE t.is_marked AND t.length > 1
+), lvl{k} AS (
+  SELECT doc_id, start_pos, length,
+         start_pos = min(start_pos) OVER (PARTITION BY doc_id, content)
+           AS is_marked
+  FROM ch{k}
+)""")
+    union = "\n  UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS level, is_marked FROM lvl{k}"
+        for k in range(max_levels + 1))
+    parts.append(f"""
 SELECT level, count(*) AS n_nodes,
        count_if(is_marked) AS n_marked,
        count_if(NOT is_marked) AS n_pointers
-FROM tree GROUP BY level ORDER BY level
-"""
+FROM ({union})
+GROUP BY level ORDER BY level
+""")
+    return "".join(parts)
+
+
+SQL_BLOCK_TREE_STATS = _block_tree_stats_sql()
 
 
 def q_block_tree_access(spark, sf_dir):
