@@ -162,8 +162,10 @@ def main() -> None:
     # 50k docs/32 cores, alternating A/B). The near-dup leg keeps AQE: its
     # bucket/verify joins benefit from skew splitting and coalescing.
     cfg = DedupConfig(jaccard_threshold=0.5)
-    t_exact = t_near = float("inf")
-    for _ in range(repeats):
+    exact_samples: list[float] = []
+    near_samples: list[float] = []
+
+    def one_headline_round():
         p = fresh_pages()
         # try/finally: an exception mid-leg must not leak AQE=off into every
         # later measurement (restore the value read before the leg, not "true")
@@ -174,7 +176,7 @@ def main() -> None:
             deduped, obs = run_exact_dedup_observed(p)
             n_out = deduped.count()
             stats_row = obs.get
-            t_exact = min(t_exact, time.time() - t0)
+            exact_samples.append(time.time() - t0)
         finally:
             spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
 
@@ -182,7 +184,23 @@ def main() -> None:
         t0 = time.time()
         clusters = near_dup_clusters(p, cfg).cache()
         n_clustered = clusters.count()
-        t_near = min(t_near, time.time() - t0)
+        near_samples.append(time.time() - t0)
+        return n_out, stats_row, clusters, n_clustered
+
+    for _ in range(repeats):
+        n_out, stats_row, clusters, n_clustered = one_headline_round()
+    # Storm detection: a >2x spread across same-code samples is the fingerprint
+    # of co-tenant CPU steal (measured 5-6x swings on this host), not of the
+    # code under test. Take up to 2 extra interleaved rounds hunting a clean
+    # window, and annotate the residual spread in the output JSON so a noisy
+    # round is readable as noisy from the artifact alone.
+    spread = lambda s: (max(s) / min(s)) if s and min(s) > 0 else 1.0  # noqa: E731
+    extra = 0
+    while extra < 2 and repeats > 1 and max(spread(exact_samples),
+                                            spread(near_samples)) > 2.0:
+        extra += 1
+        n_out, stats_row, clusters, n_clustered = one_headline_round()
+    t_exact, t_near = min(exact_samples), min(near_samples)
     timings["pages_exact_dedup"] = round(t_exact, 3)
     timings["pages_near_dup_clusters"] = round(t_near, 3)
 
@@ -214,17 +232,12 @@ def main() -> None:
                    "substring_search", "embedding_top1", "event_hourly",
                    "sentence_dedup_pages", "boilerplate_bigrams",
                    "url_canonical")
-        for _ in range(q_repeats):
-            for qname in q_names:
-                spark.catalog.clearCache()
-                t0 = time.time()
-                QUERIES[qname](spark, args.sf_dir).count()
-                t = round(time.time() - t0, 3)
-                timings[qname] = min(timings.get(qname, float("inf")), t)
 
         # indexed search: the index is built ONCE per window size (the production
         # shape — src/search_mode.c builds its tables once per session); probes are
-        # then pure filter+verify. Report both phases.
+        # then pure filter+verify. Both phases ride INSIDE the interleaved repeat
+        # loop — in r4 they were timed once, outside it, so a single co-tenant
+        # storm minute fabricated a 4.8x phantom regression on search_index_build.
         from corpus_dedup_spark import kernel
         from corpus_dedup_spark.operators.search import (build_fingerprint_index,
                                                          search)
@@ -233,15 +246,29 @@ def main() -> None:
         docs = spark.read.parquet(f"{args.sf_dir}/documents.parquet").select(
             F.col("doc_id").cast("string").alias("url"), "text")
         qlen = len(kernel.utf8_decode_buffer(SEARCH_QUERY.encode()))
-        t0 = time.time()
-        sidx = build_fingerprint_index(docs, window=qlen).persist()
-        sidx.count()
-        timings["search_index_build"] = round(time.time() - t0, 3)
-        t0 = time.time()
-        for probe_q in (SEARCH_QUERY, "partition", "zz-no-hit-zz"[:qlen]):
-            search(sidx, docs, probe_q.ljust(qlen)[:qlen]).count()
-        timings["substring_search_probe3"] = round(time.time() - t0, 3)
-        sidx.unpersist()
+
+        for _ in range(q_repeats):
+            for qname in q_names:
+                spark.catalog.clearCache()
+                t0 = time.time()
+                QUERIES[qname](spark, args.sf_dir).count()
+                t = round(time.time() - t0, 3)
+                timings[qname] = min(timings.get(qname, float("inf")), t)
+
+            spark.catalog.clearCache()
+            t0 = time.time()
+            sidx = build_fingerprint_index(docs, window=qlen).persist()
+            sidx.count()
+            t = round(time.time() - t0, 3)
+            timings["search_index_build"] = min(
+                timings.get("search_index_build", float("inf")), t)
+            t0 = time.time()
+            for probe_q in (SEARCH_QUERY, "partition", "zz-no-hit-zz"[:qlen]):
+                search(sidx, docs, probe_q.ljust(qlen)[:qlen]).count()
+            t = round(time.time() - t0, 3)
+            timings["substring_search_probe3"] = min(
+                timings.get("substring_search_probe3", float("inf")), t)
+            sidx.unpersist()
 
     total = t_exact + t_near
     out = {
@@ -259,6 +286,13 @@ def main() -> None:
         "n_clustered": n_clustered,
         "exact_pair_recall": round(recall, 5),
         "cores": args.cores,
+        # host-noise annotation: best/worst sample ratio per headline leg and
+        # how many storm-triggered extra rounds ran. A spread near 1.0 means
+        # the minima are trustworthy; >2 means the host was stormy and even
+        # best-of-N may overstate cost (see BENCH.md on co-tenant swings).
+        "exact_sample_spread": round(spread(exact_samples), 2),
+        "near_sample_spread": round(spread(near_samples), 2),
+        "storm_extra_rounds": extra,
     }
     print(json.dumps(out))
     spark.stop()
