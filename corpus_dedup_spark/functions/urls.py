@@ -30,7 +30,11 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column
 
 _SCHEME = "^([A-Za-z][A-Za-z0-9+.-]*)://"
-_TRACKING = "(utm_[a-z]+|gclid|fbclid)=[^&#]*"
+# anchored to a parameter boundary ([?&]) so substrings never match: without
+# it '?sgclid=1' became '?s' and a VALUE containing 'utm_x=' was truncated,
+# canonicalizing distinct URLs to one key (false duplicates). The boundary
+# char is kept via $1; the separator-tidy passes then collapse leftovers.
+_TRACKING = "([?&])(utm_[a-z]+|gclid|fbclid)=[^&#]*"
 
 
 def canonical_url_expr(url: Column) -> Column:
@@ -45,7 +49,7 @@ def canonical_url_expr(url: Column) -> Column:
         .when(scheme == "https", F.regexp_replace(host, ":443$", ""))
         .otherwise(host))
     rest = F.regexp_extract(u, _SCHEME + "[^/?#]*([^#]*)", 2)
-    rest = F.regexp_replace(rest, _TRACKING, "")
+    rest = F.regexp_replace(rest, _TRACKING, "$1")
     rest = F.regexp_replace(rest, "\\?&+", "?")
     rest = F.regexp_replace(rest, "&&+", "&")
     rest = F.regexp_replace(rest, "[?&]+$", "")

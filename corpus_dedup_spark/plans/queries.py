@@ -1479,7 +1479,10 @@ def q_url_canonical(spark, sf_dir):
         F.when(d % 4 == 0, F.lit("/")).otherwise(F.lit("")),
         F.when(d % 3 == 0,
                F.concat(F.lit("?utm_source=feed&q="), (d % 2).cast("string")))
-        .when(d % 3 == 1, F.concat(F.lit("?q="), (d % 2).cast("string")))
+        # sgclid is NOT a tracking param: only the boundary-anchored regex
+        # keeps it (the unanchored one truncated it to '?s')
+        .when(d % 3 == 1, F.concat(F.lit("?sgclid=keep&q="),
+                                   (d % 2).cast("string")))
         .otherwise(F.lit("")),
         F.when(d % 6 == 0, F.lit("#sec")).otherwise(F.lit("")),
     )
@@ -1511,7 +1514,7 @@ WITH ids AS (
     '/a/' || CAST(id % 10 AS VARCHAR) ||
     (CASE WHEN id % 4 = 0 THEN '/' ELSE '' END) ||
     (CASE WHEN id % 3 = 0 THEN '?utm_source=feed&q=' || CAST(id % 2 AS VARCHAR)
-          WHEN id % 3 = 1 THEN '?q=' || CAST(id % 2 AS VARCHAR)
+          WHEN id % 3 = 1 THEN '?sgclid=keep&q=' || CAST(id % 2 AS VARCHAR)
           ELSE '' END) ||
     (CASE WHEN id % 6 = 0 THEN '#sec' ELSE '' END) AS url
   FROM ids
@@ -1535,7 +1538,7 @@ WITH ids AS (
          ELSE regexp_replace(hostport, '^www\.', '', 'g') END AS host,
     regexp_replace(regexp_replace(regexp_replace(regexp_replace(
       regexp_replace(regexp_replace(
-        rest0, '(utm_[a-z]+|gclid|fbclid)=[^&#]*', '', 'g'),
+        rest0, '([?&])(utm_[a-z]+|gclid|fbclid)=[^&#]*', '\1', 'g'),
       '\?&+', '?', 'g'), '&&+', '&', 'g'), '[?&]+$', '', 'g'),
       '/\?', '?', 'g'), '/$', '', 'g') AS rest1
   FROM parts

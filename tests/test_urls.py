@@ -25,6 +25,14 @@ CASES = [
     ("http://e.com/", "http://e.com/"),
     # www only stripped as a prefix label
     ("http://wwwx.com/p", "http://wwwx.com/p"),
+    # boundary anchoring: params merely CONTAINING a tracking name survive
+    ("http://e.com/p?sgclid=1", "http://e.com/p?sgclid=1"),
+    ("http://e.com/p?myutm_x=2&q=1", "http://e.com/p?myutm_x=2&q=1"),
+    # a VALUE containing 'utm_x=' is not truncated
+    ("http://e.com/p?q=utm_x=foo", "http://e.com/p?q=utm_x=foo"),
+    # consecutive tracking params all drop, separators tidied
+    ("http://e.com/p?utm_a=1&utm_b=2&q=3", "http://e.com/p?q=3"),
+    ("http://e.com/p?utm_a=1&gclid=2", "http://e.com/p"),
 ]
 
 
