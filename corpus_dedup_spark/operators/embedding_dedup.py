@@ -84,6 +84,12 @@ def _bucketed(vectors: DataFrame, n_planes: int, n_tables: int, seed: int,
     # model, not the data); the .first() probe is a fallback only — it is a
     # 1-row driver action per call, pure latency on a busy cluster
     if dim is None:
+        import warnings
+        warnings.warn(
+            "ANN bucketing probed the embedding dim with a driver-side "
+            ".first() — pass dim= explicitly (it is a model property); "
+            "the probe adds one job of pure latency per call",
+            RuntimeWarning, stacklevel=3)
         dim = len(vectors.select(vec_col).first()[0])
     bucket = make_hyperplane_bucket_udf(dim, n_planes, seed, n_tables)
     return vectors.select(

@@ -41,7 +41,7 @@ def test_lsh_ann_recall_on_planted_neighbors(spark):
         noisy = base[i] + rng.standard_normal(32).astype(np.float32) * 0.05
         rows.append((1000 + i, noisy.tolist()))
     df = spark.createDataFrame(rows, ["vec_id", "embedding"])
-    ann = lsh_ann_topk(df, k=1, n_planes=8, n_tables=4).collect()
+    ann = lsh_ann_topk(df, k=1, n_planes=8, n_tables=4, dim=32).collect()
     got = {r["probe_id"]: r["neighbor_id"] for r in ann}
     hits = sum(got.get(1000 + i) == i for i in range(30))
     assert hits / 30 >= 0.9, f"ANN planted-neighbor recall {hits}/30"
@@ -54,7 +54,8 @@ def test_embedding_dup_pairs_finds_planted(spark):
     dup = base[7] + rng.standard_normal(16).astype(np.float32) * 0.01
     rows = [(i, base[i].tolist()) for i in range(50)] + [(99, dup.tolist())]
     df = spark.createDataFrame(rows, ["vec_id", "embedding"])
-    pairs = embedding_dup_pairs(df, threshold=0.98, n_planes=8).collect()
+    pairs = embedding_dup_pairs(df, threshold=0.98, n_planes=8,
+                                dim=16).collect()
     assert any(r["id_a"] == 7 and r["id_b"] == 99 for r in pairs)
 
 
@@ -119,3 +120,18 @@ def test_lsh_ann_recall_planted_near_dups(spark, sf_dir):
     hits = sum(1 for pid, _ in planted if top1.get(pid) == pid - 1_000_000)
     recall = hits / len(planted)
     assert recall >= 0.95, f"planted recall@1 = {recall:.3f}"
+
+
+def test_bucketed_dim_fallback_warns(spark):
+    """Omitting dim= must still work (driver-side .first() probe) but warn
+    loudly — the probe is one extra job of pure latency per call."""
+    import pytest
+
+    from corpus_dedup_spark.operators.embedding_dedup import lsh_ann_topk
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.5, -1.0]) for i in range(6)],
+        ["vec_id", "embedding"])
+    with pytest.warns(RuntimeWarning, match="pass dim= explicitly"):
+        ann = lsh_ann_topk(df, k=1, n_planes=4, n_tables=2)
+    assert ann.count() >= 0
