@@ -1289,7 +1289,7 @@ def _run_mask(starts: np.ndarray, lens: np.ndarray, n: int) -> np.ndarray:
 
 
 def _assemble_units(
-    arr: np.ndarray, blob: bytes, doc_all: np.ndarray, gs: np.ndarray,
+    arr: np.ndarray, blob: bytes | None, doc_all: np.ndarray, gs: np.ndarray,
     ge: np.ndarray, batch_ids: list[int], max_length: int,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Spans → normalized flat unit buffers (shared by the ASCII and UTF-8
@@ -1301,7 +1301,9 @@ def _assemble_units(
     trailing space) copy verbatim via one ragged gather; dirty spans
     re-normalize individually. (Sentence spans never start with whitespace;
     the leading check exists for the full-document spans of the
-    line/paragraph/document modes.)"""
+    line/paragraph/document modes.) ``blob`` may be None (the Arrow
+    zero-boxing path): dirty spans then slice from ``arr`` directly —
+    boxing only the dirty minority instead of every document."""
     sp = arr == 0x20
     dbl = np.flatnonzero(sp[:-1] & sp[1:])
     dirty = (np.searchsorted(dbl, gs) != np.searchsorted(dbl, ge - 1)) \
@@ -1311,9 +1313,14 @@ def _assemble_units(
     dirty_bytes: list[bytes] = []
     gs_l = gs[dirty_ids].tolist()
     ge_l = ge[dirty_ids].tolist()
-    for a, b in zip(gs_l, ge_l):
-        u = b" ".join(blob[a:b].split())
-        dirty_bytes.append(u)
+    if blob is None:
+        for a, b in zip(gs_l, ge_l):
+            u = b" ".join(arr[a:b].tobytes().split())
+            dirty_bytes.append(u)
+    else:
+        for a, b in zip(gs_l, ge_l):
+            u = b" ".join(blob[a:b].split())
+            dirty_bytes.append(u)
     if dirty_ids.size:
         out_lens[dirty_ids] = np.fromiter(
             (len(u) for u in dirty_bytes), dtype=np.int64,
@@ -1455,6 +1462,105 @@ def extract_units_batch_flat(
     if not parts:
         z = np.empty(0, dtype=np.int64)
         return z, z.copy(), np.empty(0, dtype=np.uint8), np.zeros(1, np.int64)
+    if len(parts) == 1:
+        return parts[0]
+    doc_idx = np.concatenate([p[0] for p in parts])
+    unit_idx = np.concatenate([p[1] for p in parts])
+    values = np.concatenate([p[2] for p in parts])
+    offsets = [parts[0][3]]
+    base = parts[0][3][-1]
+    for p in parts[1:]:
+        offsets.append(p[3][1:] + base)
+        base += p[3][-1]
+    return doc_idx, unit_idx, values, np.concatenate(offsets)
+
+
+# vectorized form of _WS_TO_SPACE: one uint8 LUT gather translates a whole
+# Arrow value buffer in a single memory-speed pass (vs per-doc bytes.translate)
+_WS_LUT = np.frombuffer(_WS_TO_SPACE, dtype=np.uint8)
+
+
+def extract_units_batch_flat_arrow(
+    arr: np.ndarray, starts: np.ndarray, ends: np.ndarray,
+    mode: str = "sentence", max_length: int = 0,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Zero-boxing variant of :func:`extract_units_batch_flat` over Arrow
+    binary-array buffers: ``arr`` is the uint8 view of the value buffer and
+    ``starts``/``ends`` are per-document [start, end) byte bounds (a null
+    document is passed as an empty span). Bit-identical rows to the list API
+    (same kernels downstream); row order groups ASCII docs first, as there.
+
+    The list API boxes one Python bytes object per document (``to_pylist``),
+    translates each individually, and re-joins them into a blob; this variant
+    never materializes a per-document object on the hot path — whitespace
+    translation is one LUT gather, the per-class blob is one ragged
+    mask-to-mask copy, and only the non-ASCII minority (which needs the
+    codepoint decode) is boxed per document.
+    """
+    if mode not in ("sentence", "line", "paragraph", "document"):
+        raise ValueError(f"unknown mode: {mode!r}")
+    arr = np.asarray(arr, dtype=np.uint8)
+    starts = np.asarray(starts, dtype=np.int64)
+    ends = np.asarray(ends, dtype=np.int64)
+    lens_all = ends - starts
+    ne = np.flatnonzero(lens_all > 0)
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64),
+             np.empty(0, dtype=np.uint8), np.zeros(1, np.int64))
+    if not ne.size:
+        return empty
+
+    def compact(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Gather docs ``ids`` into one contiguous translated blob (ragged
+        mask-to-mask copy — no per-doc objects). Returns (blob_arr, off, lens).
+        """
+        c_lens = lens_all[ids]
+        off = np.zeros(ids.size, dtype=np.int64)
+        np.cumsum(c_lens[:-1], out=off[1:])
+        total = int(off[-1] + c_lens[-1])
+        out = np.empty(total, dtype=np.uint8)
+        out[_run_mask(off, c_lens, total)] = arr[
+            _run_mask(starts[ids], c_lens, arr.shape[0])]
+        return _WS_LUT[out], off, c_lens
+
+    if mode != "sentence":
+        # line/paragraph degenerate to document mode post-squash (quirk U2);
+        # one full-doc span per nonempty doc through the shared assembler
+        blob_arr, off, c_lens = compact(ne)
+        return _assemble_units(blob_arr, None,
+                               np.arange(ne.size, dtype=np.int64),
+                               off, off + c_lens, ne.tolist(), max_length)
+
+    # ASCII classification without boxing: bitwise-OR reduceat over per-doc
+    # segments of the raw buffer. Segments span from each nonempty doc's start
+    # to the next one's (interleaved empty docs contribute zero bytes; a null
+    # slot with residual buffer bytes can only widen a segment, which may only
+    # flip a doc to the non-ASCII path — safe, that path handles ASCII too).
+    last_end = int(ends[ne[-1]])
+    hi = (np.bitwise_or.reduceat(arr[:last_end], starts[ne]) & 0x80) > 0
+    ascii_ids = ne[~hi]
+    na_ids = ne[hi]
+
+    parts: list[tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]] = []
+    if ascii_ids.size:
+        blob_arr, off, c_lens = compact(ascii_ids)
+        doc_all, st_loc, ln_all = _split_ascii_batch(blob_arr, off,
+                                                     off + c_lens)
+        gs = st_loc + off[doc_all]
+        parts.append(_assemble_units(blob_arr, None, doc_all, gs, gs + ln_all,
+                                     ascii_ids.tolist(), max_length))
+    if na_ids.size:
+        # the codepoint decode needs per-doc boundaries through a NUL-joined
+        # blob; boxing just this minority preserves the list-path code exactly
+        na_texts = [arr[s:e].tobytes().translate(_WS_TO_SPACE)
+                    for s, e in zip(starts[na_ids].tolist(),
+                                    ends[na_ids].tolist())]
+        doc_all, gs, ge, blob, _boff = _split_nonascii_docs_byte_spans(
+            na_texts)
+        parts.append(_assemble_units(np.frombuffer(blob, dtype=np.uint8),
+                                     blob, doc_all, gs, ge, na_ids.tolist(),
+                                     max_length))
+    if not parts:
+        return empty
     if len(parts) == 1:
         return parts[0]
     doc_idx = np.concatenate([p[0] for p in parts])

@@ -196,6 +196,36 @@ def test_extract_units_batch_flat_nonsentence_matches_scalar(
     assert sum(len(x) for x in ref) == len(d)
 
 
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.one_of(st.none(), st.text(min_size=0, max_size=120)),
+                min_size=0, max_size=12),
+       st.sampled_from(["sentence", "line", "document"]),
+       st.sampled_from([0, 5, 40]),
+       st.integers(0, 3))
+def test_extract_units_batch_flat_arrow_matches_lists(
+        texts, mode, max_length, lead):
+    """Arrow-buffer (zero-boxing) extraction ≡ list extraction on ANY input:
+    nulls → empty docs, sliced arrays (non-zero Arrow offset), non-ASCII,
+    dirty spans. This is the exact path explode_units_arrow runs per batch."""
+    import pyarrow as pa
+
+    from corpus_dedup_spark.operators.exact_dedup import _binary_view
+
+    col = pa.array(["pad. lead"] * lead + texts, type=pa.string()).slice(lead)
+    arr, starts, ends = _binary_view(col)
+    got = kernel.extract_units_batch_flat_arrow(arr, starts, ends, mode,
+                                                max_length)
+    raw = [(t or "").encode("utf-8") for t in texts]
+    ref = kernel.extract_units_batch_flat(raw, mode, max_length)
+
+    def rows(r):
+        d, u, v, o = r
+        return sorted((int(d[k]), int(u[k]), bytes(v[o[k]:o[k + 1]]))
+                      for k in range(len(d)))
+
+    assert rows(got) == rows(ref)
+
+
 # ---------------------------------------------------------------------------
 # Mersenne-61 second hash family (shared-block double-hash verify)
 # ---------------------------------------------------------------------------
