@@ -36,6 +36,31 @@ def explode_units(pages: DataFrame, mode: str = "sentence", max_length: int = 0,
     )
 
 
+def _binary_view(col):
+    """Arrow string/binary Array → (values uint8 ndarray, starts, ends) without
+    boxing a single document: zero-copy views of the value and offset buffers.
+    Null slots are returned as empty spans (start == end)."""
+    import numpy as np
+    import pyarrow as pa
+
+    if pa.types.is_string(col.type):
+        col = col.cast(pa.binary())
+    elif pa.types.is_large_string(col.type):
+        col = col.cast(pa.large_binary())
+    off_dtype = (np.int64 if pa.types.is_large_binary(col.type)
+                 else np.int32)
+    bufs = col.buffers()
+    offs = np.frombuffer(bufs[1], dtype=off_dtype)[
+        col.offset:col.offset + len(col) + 1].astype(np.int64)
+    arr = (np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None
+           else np.empty(0, dtype=np.uint8))
+    starts, ends = offs[:-1], offs[1:]
+    if col.null_count:
+        valid = col.is_valid().to_numpy(zero_copy_only=False)
+        ends = np.where(valid, ends, starts)
+    return arr, starts, ends
+
+
 def explode_units_arrow(pages: DataFrame, mode: str = "sentence",
                         max_length: int = 0, text_col: str = "text",
                         id_col: str = "url") -> DataFrame:
@@ -44,9 +69,9 @@ def explode_units_arrow(pages: DataFrame, mode: str = "sentence",
     and one fewer JVM stage.
 
     ``mapInArrow`` hands the kernel a pyarrow RecordBatch and takes back value/
-    offset buffers built directly by :func:`kernel.extract_units_batch_flat`:
-    no per-unit Python bytes objects (the list-of-lists pandas UDF boxed ~14M of
-    them per 500k docs just for Arrow to re-serialize), no JVM-side explode
+    offset buffers built directly by :func:`kernel.extract_units_batch_flat_arrow`:
+    no per-unit OR per-document Python bytes objects (text enters the kernel as
+    zero-copy buffer views — see :func:`_binary_view`), no JVM-side explode
     (rows leave the worker already flat), and the id column is carried by a C++
     ``take`` gather. Bit-identical unit bytes and (id, unit_idx) pairs."""
     import numpy as np
@@ -56,15 +81,16 @@ def explode_units_arrow(pages: DataFrame, mode: str = "sentence",
 
     def fn(batches):
         for rb in batches:
-            texts_col = rb.column(text_col)
-            if pa.types.is_string(texts_col.type) or pa.types.is_large_string(
-                    texts_col.type):
-                texts_col = texts_col.cast(pa.binary())
-            texts = [t if t is not None else b"" for t in texts_col.to_pylist()]
-            doc_idx, unit_idx, values, offsets = kernel.extract_units_batch_flat(
-                texts, mode, max_length)
+            arr, starts, ends = _binary_view(rb.column(text_col))
+            doc_idx, unit_idx, values, offsets = (
+                kernel.extract_units_batch_flat_arrow(
+                    arr, starts, ends, mode, max_length))
             n = len(doc_idx)
-            assert offsets[-1] < (1 << 31), "batch too large for int32 offsets"
+            if offsets[-1] >= (1 << 31):  # not assert: must survive python -O
+                raise ValueError(
+                    "Arrow batch unit bytes exceed int32 offsets "
+                    f"({int(offsets[-1])} bytes); lower "
+                    "spark.sql.execution.arrow.maxRecordsPerBatch")
             ids = rb.column(id_col).take(pa.array(doc_idx, type=pa.int64()))
             units = pa.Array.from_buffers(
                 pa.binary(), n,
@@ -108,13 +134,10 @@ def keeper_partials_arrow(pages: DataFrame, mode: str = "sentence",
         url_chunks: list[pa.Array] = []
         len_chunks: list[np.ndarray] = []
         for rb in batches:
-            texts_col = rb.column(text_col)
-            if pa.types.is_string(texts_col.type) or pa.types.is_large_string(
-                    texts_col.type):
-                texts_col = texts_col.cast(pa.binary())
-            texts = [t if t is not None else b"" for t in texts_col.to_pylist()]
-            doc_idx, unit_idx, values, offsets = kernel.extract_units_batch_flat(
-                texts, mode, max_length)
+            arr, starts, ends = _binary_view(rb.column(text_col))
+            doc_idx, unit_idx, values, offsets = (
+                kernel.extract_units_batch_flat_arrow(
+                    arr, starts, ends, mode, max_length))
             if len(doc_idx) == 0:
                 continue
             vals_chunks.append(np.asarray(values, dtype=np.uint8))
@@ -134,13 +157,26 @@ def keeper_partials_arrow(pages: DataFrame, mode: str = "sentence",
         np.cumsum(lengths, out=offsets[1:])
         urls = pa.chunked_array(url_chunks).combine_chunks()
         # first-wins ranks: UTF-8 byte order == codepoint order, so Python str
-        # sort of the dictionary matches Spark's binary string ordering
+        # sort of the dictionary matches Spark's binary string ordering; a
+        # NULL id ranks before everything (Spark's asc NULLS FIRST, so the
+        # switch stays drop-in for null-bearing ids — np.argsort would raise)
         enc = urls.dictionary_encode()
-        dict_np = np.asarray(enc.dictionary.to_pylist(), dtype=object)
-        dict_order = np.argsort(dict_np, kind="stable")
-        rank_of = np.empty(len(dict_np), dtype=np.int64)
-        rank_of[dict_order] = np.arange(len(dict_np), dtype=np.int64)
-        url_rank = rank_of[enc.indices.to_numpy(zero_copy_only=False)]
+        keys = enc.dictionary.to_pylist()
+        dict_order = np.asarray(
+            sorted(range(len(keys)),
+                   # two Nones tie on element 0, so None is never ordered
+                   key=lambda i: (keys[i] is not None, keys[i])),
+            dtype=np.int64)
+        rank_of = np.empty(len(keys), dtype=np.int64)
+        rank_of[dict_order] = np.arange(len(keys), dtype=np.int64)
+        idx = enc.indices
+        if idx.null_count:  # a NULL id encodes as a null INDEX, not a key
+            idx_np = idx.fill_null(-1).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            url_rank = np.where(idx_np < 0, np.int64(-1),
+                                rank_of[np.maximum(idx_np, 0)])
+        else:
+            url_rank = rank_of[idx.to_numpy(zero_copy_only=False)]
         sel, n_occ, fnv = kernel.combine_keepers_flat(
             values, offsets, url_rank, unit_idx)
         # ragged gather of the keeper rows' bytes
@@ -153,7 +189,11 @@ def keeper_partials_arrow(pages: DataFrame, mode: str = "sentence",
             pos = np.arange(total, dtype=np.int64)
             rel = pos - np.repeat(out_off[:-1], out_lens)
             out_vals[pos] = values[np.repeat(offsets[:-1][sel], out_lens) + rel]
-        assert out_off[-1] < (1 << 31), "partition too large for int32 offsets"
+        if out_off[-1] >= (1 << 31):  # not assert: must survive python -O
+            raise ValueError(
+                "partition keeper bytes exceed int32 offsets "
+                f"({int(out_off[-1])} bytes); repartition the input or lower "
+                "spark.sql.files.maxPartitionBytes")
         units_arr = pa.Array.from_buffers(
             pa.binary(), len(sel),
             [None, pa.py_buffer(out_off.astype(np.int32)),
@@ -461,6 +501,26 @@ def verify_no_duplicates(deduped_docs: DataFrame, mode: str = "sentence",
     return int(dup_count)
 
 
+def write_corpus_state(corpus_units: DataFrame, table: str,
+                       buckets: int = 512) -> None:
+    """Persist the corpus dedup state (one ``norm_unit`` column) BUCKETED on
+    the unit bytes, so the next batch's anti-join in
+    :func:`dedup_against_corpus` is co-located: the bucketed scan reports
+    ``HashPartitioning(norm_unit, buckets)``, which satisfies the join's
+    required distribution — the historical corpus side gets NO Exchange
+    (``Bucketed: true`` in the scan, verified by tests/test_exact_dedup.py
+    and the PLANS.md audit), only the new batch shuffles, to the bucket
+    count. This is the parquet stand-in for Iceberg ``bucket(norm_unit, N)``
+    (storage-partitioned join); size ``buckets`` so one bucket ≈ 128-512 MB
+    at the target corpus size (10^12 docs ⇒ O(10^5) buckets).
+
+    Write cost is one clustering shuffle of the distinct-unit column — paid
+    once per state refresh, amortized over every subsequent incremental
+    batch."""
+    (corpus_units.select("norm_unit").write.mode("overwrite")
+     .bucketBy(buckets, "norm_unit").format("parquet").saveAsTable(table))
+
+
 def dedup_against_corpus(new_pages: DataFrame, corpus_units: DataFrame,
                          mode: str = "sentence", max_length: int = 0,
                          id_col: str = "url") -> tuple[DataFrame, DataFrame]:
@@ -475,9 +535,12 @@ def dedup_against_corpus(new_pages: DataFrame, corpus_units: DataFrame,
 
     Scale notes: the anti-join keys on the full unit bytes (quirk Q6), hash-
     partitioned on norm_unit — the SAME key as the keeper agg, so with the
-    corpus state stored bucketed by norm_unit (Iceberg `bucket(norm_unit, N)`)
-    the join is co-located and only the new batch shuffles. The corpus side is
-    pruned to the single key column, so no historical text bytes move.
+    corpus state stored bucketed by norm_unit (:func:`write_corpus_state`;
+    Iceberg `bucket(norm_unit, N)` in production) the join is co-located and
+    only the new batch shuffles: the bucketed scan carries the partitioning,
+    so the corpus side has NO Exchange (demonstrated: PLANS.md "Bucketed
+    incremental dedup" section + tests/test_exact_dedup.py). The corpus side
+    is pruned to the single key column, so no historical text bytes move.
     """
     units = explode_units_arrow(new_pages, mode, max_length, id_col=id_col)
     fresh = units.join(

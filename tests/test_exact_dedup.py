@@ -172,6 +172,85 @@ def test_local_combine_edge_cases(spark):
     assert a == b
 
 
+def test_bucketed_corpus_state_join_no_corpus_exchange(spark, tmp_path):
+    """The 100 TB incremental-dedup story, demonstrated: corpus state written
+    with write_corpus_state (bucketBy norm_unit) makes the anti-join's corpus
+    side exchange-FREE (`Bucketed: true` scan satisfies the required
+    distribution); only the new batch shuffles. Results identical to the
+    unbucketed join."""
+    import re
+
+    from corpus_dedup_spark.operators.exact_dedup import (
+        dedup_against_corpus, explode_units_arrow, write_corpus_state)
+
+    corpus_pages = spark.createDataFrame(
+        [(f"old{i}", f"Old sentence {i} here. Shared boilerplate line.")
+         for i in range(40)], ["url", "text"])
+    corpus_units = explode_units_arrow(corpus_pages).select("norm_unit") \
+        .distinct()
+    table = "corpus_state_buckets_test"
+    write_corpus_state(corpus_units, table, buckets=8)
+    new_pages = spark.createDataFrame(
+        [(f"new{i}", f"Fresh sentence {i} today. Shared boilerplate line.")
+         for i in range(20)], ["url", "text"])
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force SMJ so the test exercises the distributed (non-broadcast)
+        # path the 10^12-unit corpus state would take
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        state = spark.table(table)
+        units = explode_units_arrow(new_pages)
+        fresh = units.join(state.select("norm_unit"), "norm_unit",
+                           "left_anti")
+        got = sorted((bytes(r["norm_unit"]), r["url"]) for r in
+                     fresh.collect())
+        plan = fresh._jdf.queryExecution().executedPlan().toString()
+        # AQE's toString appends the pre-execution "Initial Plan" — assert on
+        # the executed (final) section only
+        plan = plan.split("== Initial Plan ==")[0]
+        assert "Bucketed: true" in plan
+        # exactly ONE hash exchange: the new batch; the corpus scan has none
+        assert len(re.findall(r"\bExchange hashpartitioning", plan)) == 1
+        # value parity vs the unbucketed corpus DataFrame
+        want = sorted((bytes(r["norm_unit"]), r["url"]) for r in
+                      units.join(corpus_units, "norm_unit", "left_anti")
+                      .collect())
+        assert got == want
+        assert len(got) == 20  # the shared boilerplate line never survives
+        # and the full operator runs unchanged on the bucketed state
+        kept, docs = dedup_against_corpus(new_pages, state)
+        assert docs.count() == 20
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_local_combine_null_ids(spark):
+    """NULL document ids must not crash the combined path and must elect the
+    same keeper as Spark's min(struct) semantics (asc NULLS FIRST): the null
+    id wins any tie group it appears in."""
+    from corpus_dedup_spark.operators.exact_dedup import (
+        dedup_keepers, dedup_keepers_combined, explode_units_arrow)
+
+    rows = [("a", "Shared sentence. Only in a."),
+            (None, "Shared sentence. Null doc extra!"),
+            ("b", "Shared sentence. Null doc extra!"),
+            (None, "Second null doc.")]
+    df = spark.createDataFrame(rows, ["url", "text"]).repartition(2)
+    a = sorted(((bytes(r["norm_unit"]), r["url"], r["unit_idx"], r["n_occ"])
+                for r in dedup_keepers(explode_units_arrow(df)).collect()),
+               key=lambda t: (t[0], t[1] is not None, t[1] or "", t[2]))
+    b = sorted(((bytes(r["norm_unit"]), r["url"], r["unit_idx"], r["n_occ"])
+                for r in dedup_keepers_combined(df).collect()),
+               key=lambda t: (t[0], t[1] is not None, t[1] or "", t[2]))
+    assert a == b
+    keeper_of = {u: url for (u, url, _i, _n) in a}
+    assert keeper_of[b"Shared sentence."] is None  # NULLS FIRST wins the tie
+
+
 def test_combine_keepers_flat_fragmentation_safe():
     """Partial-group fragmentation is allowed; totals must still be exact.
     Simulate a hash collision by feeding equal-length distinct contents and
