@@ -25,16 +25,22 @@ of that ingest stage. All dedup semantics (newline squash Q1, splitting,
 normalization) stay downstream in the kernel — this source only materializes
 the table.
 
-Memory at scale: a task materializes one decompressed file (~1-4 GB) plus its
-record list; executors sized per BENCH.md hold that comfortably, and the
-per-file ``yield`` keeps only one file's frame alive per Arrow flush. For
-100 TB the knob is files-per-task (spark.sql.files.maxPartitionBytes caps
+Memory at scale: ``binaryFile`` holds one COMPRESSED file per task (~1 GB for
+Common Crawl; the format hard-caps at 2 GB per file — shard bigger archives
+upstream). The DECOMPRESSED side is streamed: gzip members are inflated
+incrementally (``zlib.decompressobj``, never a whole-file ``gzip.decompress``
+— a 1 GB CC file is 4-5 GB inflated) through a rolling record parser whose
+buffer is O(one record), with a per-record size cap (over-cap records are
+skipped byte-by-byte, not buffered), and rows flush to Arrow every
+``flush_rows`` records. Peak task memory ≈ compressed file + one flush frame.
+For 100 TB the knob is files-per-task (spark.sql.files.maxPartitionBytes caps
 bin-packing of small files; big files are one task each regardless).
 """
 
 from __future__ import annotations
 
 import gzip
+import zlib
 from typing import Iterable, Iterator
 
 import pandas as pd
@@ -44,54 +50,150 @@ from pyspark.sql import DataFrame, SparkSession
 from corpus_dedup_spark.functions.text import lang_id_expr
 
 _SCHEMA = "url string, warc_ts timestamp, html binary, text string"
+_GZ_CHUNK = 4 << 20  # compressed bytes per inflate step
+_MAX_HEADER_BYTES = 1 << 20  # a WARC header block beyond 1 MiB is corrupt
+
+
+def _iter_decompressed(data: bytes, chunk: int = _GZ_CHUNK) -> Iterator[bytes]:
+    """Yield decompressed chunks of a (possibly multi-member) gzip buffer
+    WITHOUT materializing the whole stream — the spec puts each record in its
+    own member, but this loop is member-agnostic: it inflates ``chunk``
+    compressed bytes at a time and starts a fresh decompressor at each member
+    boundary (``obj.eof`` + ``unused_data`` rewind). Plain (uncompressed)
+    input yields itself. A corrupt tail ends the stream at the last good
+    byte — partial data, never a task failure."""
+    if data[:2] != b"\x1f\x8b":
+        yield data
+        return
+    mv = memoryview(data)
+    pos, n = 0, len(data)
+    obj = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
+    while pos < n:
+        try:
+            out = obj.decompress(mv[pos:pos + chunk])
+        except zlib.error:
+            return  # corrupt member: stop at the last whole chunk
+        pos = min(pos + chunk, n)
+        if out:
+            yield out
+        if obj.eof:
+            pos -= len(obj.unused_data)  # rewind to the next member's start
+            if pos >= n or data[pos:pos + 2] != b"\x1f\x8b":
+                return  # trailing garbage after the last member: tolerate
+            obj = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
+    tail = obj.flush()
+    if tail:
+        yield tail
+
+
+class _WarcStreamParser:
+    """Incremental WARC record parser over a rolling buffer.
+
+    ``feed()`` arbitrary decompressed chunks; complete ``(target_uri,
+    warc_date, payload)`` rows accumulate in ``rows`` (drain with
+    ``take_rows()``). Only ``response`` / ``resource`` records yield rows
+    (warcinfo / request / metadata are framing); response HTTP envelopes are
+    stripped. Memory is O(one record): consumed bytes are deleted from the
+    buffer, and a record whose Content-Length exceeds ``max_record_bytes``
+    is discarded as it streams past (counted in ``skipped_over_cap``), never
+    buffered. Corrupt framing or a truncated tail ends the parse at the last
+    whole record — partial data, never a task failure."""
+
+    def __init__(self, max_record_bytes: int = 128 << 20) -> None:
+        self.buf = bytearray()
+        self.rows: list[tuple[str, str, bytes]] = []
+        self.max = max_record_bytes
+        self.skip = 0  # bytes of an over-cap record still to discard
+        self.skipped_over_cap = 0
+        self.dead = False  # corrupt framing: ignore the rest of the file
+        self.peak_buf = 0  # high-water mark, for the memory-bound tests
+
+    def feed(self, chunk: bytes) -> None:
+        if self.dead:
+            return
+        if self.skip:
+            k = min(self.skip, len(chunk))
+            self.skip -= k
+            if k == len(chunk):
+                return
+            chunk = chunk[k:]
+        self.buf += chunk
+        self.peak_buf = max(self.peak_buf, len(self.buf))
+        self._drain()
+
+    def take_rows(self) -> list[tuple[str, str, bytes]]:
+        rows, self.rows = self.rows, []
+        return rows
+
+    def _drain(self) -> None:
+        buf = self.buf
+        pos, n = 0, len(buf)
+        while pos < n:
+            while buf.startswith(b"\r\n", pos):
+                pos += 2
+            if pos >= n:
+                break
+            hdr_end = buf.find(b"\r\n\r\n", pos)
+            if hdr_end < 0:
+                if n - pos > _MAX_HEADER_BYTES:
+                    self.dead = True
+                    pos = n
+                break
+            lines = bytes(buf[pos:hdr_end]).decode(
+                "utf-8", "replace").split("\r\n")
+            if not lines[0].startswith("WARC/"):
+                self.dead = True
+                pos = n
+                break
+            fields: dict[str, str] = {}
+            for line in lines[1:]:
+                key, _, val = line.partition(":")
+                fields[key.strip().lower()] = val.strip()
+            try:
+                length = int(fields.get("content-length", "0"))
+            except ValueError:
+                self.dead = True
+                pos = n
+                break
+            block_start = hdr_end + 4
+            if length > self.max:
+                self.skipped_over_cap += 1
+                have = n - block_start
+                if have >= length:
+                    pos = block_start + length
+                    continue
+                self.skip = length - have  # discard the rest as it streams by
+                pos = n
+                break
+            if block_start + length > n:
+                break  # need more bytes for this record
+            block = bytes(buf[block_start:block_start + length])
+            pos = block_start + length
+            rtype = fields.get("warc-type", "")
+            if rtype in ("response", "resource"):
+                if rtype == "response":
+                    env_end = block.find(b"\r\n\r\n")
+                    body = block[env_end + 4:] if env_end >= 0 else block
+                else:
+                    body = block
+                self.rows.append((fields.get("warc-target-uri", ""),
+                                  fields.get("warc-date", ""), body))
+        if pos:
+            del buf[:pos]
+
+    def feed_stream(self, data: bytes) -> None:
+        """Feed a whole raw file (gzip or plain) through the chunked path."""
+        for chunk in _iter_decompressed(data):
+            self.feed(chunk)
 
 
 def _parse_warc_bytes(data: bytes) -> list[tuple[str, str, bytes]]:
-    """Sequentially parse one decompressed WARC stream into
-    ``(target_uri, warc_date, payload)`` rows.
-
-    Only ``response`` and ``resource`` records yield rows (warcinfo / request /
-    metadata records are framing, not content). For responses the HTTP
-    envelope (status line + headers) is stripped; the payload is the raw body
-    bytes. A truncated or corrupt tail ends the parse at the last whole
-    record — partial files degrade to partial data, never to a task failure.
-    """
-    out: list[tuple[str, str, bytes]] = []
-    pos, n = 0, len(data)
-    while pos < n:
-        while data.startswith(b"\r\n", pos):
-            pos += 2
-        if pos >= n:
-            break
-        hdr_end = data.find(b"\r\n\r\n", pos)
-        if hdr_end < 0:
-            break
-        lines = data[pos:hdr_end].decode("utf-8", "replace").split("\r\n")
-        if not lines[0].startswith("WARC/"):
-            break
-        fields: dict[str, str] = {}
-        for line in lines[1:]:
-            key, _, val = line.partition(":")
-            fields[key.strip().lower()] = val.strip()
-        try:
-            length = int(fields.get("content-length", "0"))
-        except ValueError:
-            break
-        block_start = hdr_end + 4
-        if block_start + length > n:
-            break  # truncated record
-        block = data[block_start:block_start + length]
-        pos = block_start + length
-        rtype = fields.get("warc-type", "")
-        if rtype in ("response", "resource"):
-            if rtype == "response":
-                env_end = block.find(b"\r\n\r\n")
-                body = block[env_end + 4:] if env_end >= 0 else block
-            else:
-                body = block
-            out.append((fields.get("warc-target-uri", ""),
-                        fields.get("warc-date", ""), body))
-    return out
+    """One-shot convenience over :class:`_WarcStreamParser` (DECOMPRESSED
+    input): parse a whole WARC byte string into rows. Test/fixture surface;
+    the Spark source streams instead."""
+    p = _WarcStreamParser()
+    p.feed(data)
+    return p.take_rows()
 
 
 def html_to_text_series(html: pd.Series) -> pd.Series:
@@ -117,34 +219,45 @@ def html_to_text_series(html: pd.Series) -> pd.Series:
 
 
 def read_warc(spark: SparkSession, path: str, recursive: bool = False,
-              text_from_html: bool = True) -> DataFrame:
+              text_from_html: bool = True, flush_rows: int = 2000,
+              max_record_bytes: int = 128 << 20) -> DataFrame:
     """Directory/glob of ``.warc`` / ``.warc.gz`` files → pages DataFrame
     ``(url, warc_ts, html, text, lang)`` matching the synthetic table's schema,
     so every downstream operator (``run_exact_dedup``, the near-dup pipeline,
-    text analysis) runs on it unchanged."""
+    text analysis) runs on it unchanged.
+
+    Decompression and record parsing are STREAMED (see module doc): the
+    decompressed stream is never whole in memory; rows flush to Arrow every
+    ``flush_rows`` records and a record over ``max_record_bytes`` is skipped,
+    not buffered. ``binaryFile`` itself holds one compressed file per task
+    and caps files at 2 GB (Spark's binary source limit) — shard larger
+    archives upstream."""
     reader = spark.read.format("binaryFile")
     if recursive:
         reader = reader.option("recursiveFileLookup", "true")
     files = reader.load(path).select("content")
 
+    def frame(recs: list[tuple[str, str, bytes]]) -> pd.DataFrame:
+        html = pd.Series([r[2] for r in recs], dtype=object)
+        ts = pd.to_datetime(
+            pd.Series([r[1] for r in recs]), errors="coerce",
+            utc=True, format="ISO8601").dt.tz_convert(None)
+        text = (html_to_text_series(html) if text_from_html
+                else pd.Series([""] * len(recs), dtype=object))
+        return pd.DataFrame({
+            "url": pd.Series([r[0] for r in recs], dtype=object),
+            "warc_ts": ts, "html": html, "text": text})
+
     def parse(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for raw in pdf["content"]:
-                data = bytes(raw)
-                if data[:2] == b"\x1f\x8b":
-                    data = gzip.decompress(data)  # multi-member per spec
-                recs = _parse_warc_bytes(data)
-                if not recs:
-                    continue
-                html = pd.Series([r[2] for r in recs], dtype=object)
-                ts = pd.to_datetime(
-                    pd.Series([r[1] for r in recs]), errors="coerce",
-                    utc=True, format="ISO8601").dt.tz_convert(None)
-                text = (html_to_text_series(html) if text_from_html
-                        else pd.Series([""] * len(recs), dtype=object))
-                yield pd.DataFrame({
-                    "url": pd.Series([r[0] for r in recs], dtype=object),
-                    "warc_ts": ts, "html": html, "text": text})
+                p = _WarcStreamParser(max_record_bytes)
+                for chunk in _iter_decompressed(bytes(raw)):
+                    p.feed(chunk)
+                    if len(p.rows) >= flush_rows:
+                        yield frame(p.take_rows())
+                if p.rows:
+                    yield frame(p.take_rows())
 
     pages = files.mapInPandas(parse, schema=_SCHEMA)
     return pages.withColumn("lang", lang_id_expr(F.col("text")))

@@ -80,3 +80,86 @@ def test_multi_file_dedup_pipeline(spark, tmp_path):
 def test_html_to_text_vectorized_nulls():
     s = html_to_text_series(pd.Series([None, b"<p>x</p>", b""], dtype=object))
     assert list(s) == ["", "x", ""]
+
+
+def test_gz_streaming_bounded_memory(tmp_path):
+    """A multi-member .warc.gz much larger than any single record must parse
+    with a rolling buffer ≪ the decompressed size: the whole-file
+    gzip.decompress path would hold all of it at once (a 1 GB Common Crawl
+    file is 4-5 GB inflated), the streaming path holds O(one record)."""
+    from corpus_dedup_spark.sources.warc import (_iter_decompressed,
+                                                 _WarcStreamParser)
+
+    body = (b"<html><body>" + b"Filler sentence here. " * 2000 + b"</body>")
+    recs = [(f"http://s.example/{i}", "2024-03-01T00:00:00Z", body)
+            for i in range(120)]
+    p = tmp_path / "big.warc.gz"
+    write_warc(str(p), recs, compress=True)
+    raw = p.read_bytes()
+    decompressed_size = len(gzip.decompress(raw))
+    assert decompressed_size > 5_000_000  # the test is non-vacuous
+
+    parser = _WarcStreamParser()
+    n_rows = 0
+    for chunk in _iter_decompressed(raw, chunk=64 << 10):
+        parser.feed(chunk)
+        n_rows += len(parser.take_rows())  # drain like the Spark source does
+    n_rows += len(parser.take_rows())
+    assert n_rows == len(recs)
+    # peak rolling buffer stays within a few records, not the whole stream
+    assert parser.peak_buf < 4 * (len(body) + 4096)
+    assert parser.peak_buf * 10 < decompressed_size
+
+
+def test_gz_streaming_matches_whole_file_decompress(tmp_path):
+    """Chunked multi-member inflate ≡ gzip.decompress, byte for byte, at
+    several chunk sizes (member boundaries land anywhere in a chunk)."""
+    from corpus_dedup_spark.sources.warc import _iter_decompressed
+
+    p = tmp_path / "c.warc.gz"
+    write_warc(str(p), _RECS, compress=True)
+    raw = p.read_bytes()
+    want = gzip.decompress(raw)
+    for chunk in (7, 1 << 10, 1 << 30):
+        assert b"".join(_iter_decompressed(raw, chunk=chunk)) == want
+    # truncated tail: stops cleanly at the last whole byte, no exception
+    got = b"".join(_iter_decompressed(raw[:-20], chunk=1 << 10))
+    assert want.startswith(got)
+
+
+def test_over_cap_record_skipped_not_buffered():
+    """A record whose Content-Length exceeds the cap is discarded as it
+    streams past — later records still parse, and the buffer never holds the
+    big block."""
+    from corpus_dedup_spark.sources.warc import _WarcStreamParser
+
+    def rec(url: str, body: bytes) -> bytes:
+        return (f"WARC/1.0\r\nWARC-Type: resource\r\n"
+                f"WARC-Target-URI: {url}\r\n"
+                f"Content-Length: {len(body)}\r\n\r\n").encode() \
+            + body + b"\r\n\r\n"
+
+    big = b"x" * 500_000
+    data = rec("http://ok.example/1", b"small one") + \
+        rec("http://big.example/2", big) + \
+        rec("http://ok.example/3", b"small two")
+    parser = _WarcStreamParser(max_record_bytes=10_000)
+    for i in range(0, len(data), 8192):
+        parser.feed(data[i:i + 8192])
+    rows = parser.take_rows()
+    assert [r[0] for r in rows] == ["http://ok.example/1",
+                                    "http://ok.example/3"]
+    assert parser.skipped_over_cap == 1
+    assert parser.peak_buf < 50_000  # the 500 kB block never accumulated
+
+
+def test_read_warc_flush_rows(spark, tmp_path):
+    """The Spark source flushes frames every flush_rows records (bounding the
+    per-task pandas frame) without changing the result."""
+    recs = [(f"http://f.example/{i}", "2024-03-01T00:00:00Z",
+             f"<p>Doc {i} body sentence.</p>".encode()) for i in range(25)]
+    write_warc(str(tmp_path / "f.warc.gz"), recs, compress=True)
+    df = read_warc(spark, str(tmp_path / "f.warc.gz"), flush_rows=4)
+    rows = df.orderBy("url").collect()
+    assert len(rows) == 25
+    assert rows[0]["text"] == "Doc 0 body sentence."
