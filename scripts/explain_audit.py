@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import io
 import os
+import re
 import sys
 from contextlib import redirect_stdout
 
@@ -42,7 +43,12 @@ def main() -> None:
                                                      search)
     from corpus_dedup_spark.plans.session import build_session
 
-    spark = build_session(master="local[4]", shuffle_partitions=8)
+    import tempfile
+
+    spark = build_session(
+        master="local[4]", shuffle_partitions=8,
+        extra_conf={"spark.sql.warehouse.dir":
+                    tempfile.mkdtemp(prefix="plans_audit_wh_")})
     spark.sparkContext.setLogLevel("ERROR")
     sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -157,6 +163,37 @@ def main() -> None:
         "no per-level joins)",
         plan_of(bt),
         ["MapInPandas", "!Exchange", "!SortMergeJoin", "!BroadcastHashJoin"],
+    ))
+
+    # 6c. bucketed incremental dedup: corpus state written with
+    # write_corpus_state (bucketBy norm_unit — the parquet stand-in for
+    # Iceberg bucket(norm_unit, N)) makes the anti-join CO-LOCATED: the
+    # bucketed scan's HashPartitioning(norm_unit) satisfies the join's
+    # required distribution, so the 10^12-unit corpus side gets NO Exchange —
+    # only the (small) new batch shuffles, to the bucket count. Broadcast is
+    # disabled here to audit the distributed path a real corpus state takes.
+    from corpus_dedup_spark.operators.exact_dedup import write_corpus_state
+
+    write_corpus_state(
+        explode_units_arrow(pages.limit(50)).select("norm_unit").distinct(),
+        "plans_audit_corpus_state", buckets=8)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    inc = explode_units_arrow(pages).join(
+        spark.table("plans_audit_corpus_state"), "norm_unit", "left_anti")
+    inc_plan = plan_of(inc)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+    spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    sections.append((
+        "Bucketed incremental dedup (corpus state bucketBy(norm_unit): "
+        "anti-join corpus side exchange-FREE, only the new batch shuffles)",
+        inc_plan,
+        ["Bucketed: true", "LeftAnti"]
+        # formatted explain puts the operator name and its arguments on
+        # separate lines — count the detail-section headers "(n) Exchange"
+        + (["!__EXTRA_EXCHANGE__"]
+           if len(re.findall(r"\(\d+\) Exchange", inc_plan)) == 1
+           else ["__EXACTLY_ONE_EXCHANGE__"]),
     ))
 
     # 7. search line/col derivation: pure codegen expressions, no Python
