@@ -27,6 +27,27 @@ from corpus_dedup_spark.config import DedupConfig
 
 STAGES = ("units", "deduped", "features", "edges", "clusters")
 
+_ICEBERG_CATALOG_IMPLS = ("org.apache.iceberg.spark.SparkCatalog",
+                          "org.apache.iceberg.spark.SparkSessionCatalog")
+
+
+def detect_iceberg_catalog(spark: SparkSession) -> str | None:
+    """Name of a configured Iceberg catalog (``spark.sql.catalog.<name>`` set
+    to an Iceberg catalog implementation), or None. The sandbox has no Iceberg
+    jar, so locally this returns None and the pipeline stays on its parquet
+    stand-in; on a production cluster with a catalog configured, passing
+    ``catalog="auto"`` to :class:`DedupPipeline` routes every stage write
+    through ``writeTo(...)`` instead."""
+    try:
+        confs = spark.sparkContext.getConf().getAll()
+    except Exception:  # pragma: no cover - defensive; SparkConf is always there
+        return None
+    for k, v in confs:
+        if k.startswith("spark.sql.catalog.") and k.count(".") == 3 \
+                and v in _ICEBERG_CATALOG_IMPLS:
+            return k.rsplit(".", 1)[1]
+    return None
+
 
 def table_rows(path: str) -> int:
     """Exact row count of a parquet directory from footer metadata only
@@ -43,19 +64,33 @@ class DedupPipeline:
     """End-to-end: pages → exact unit dedup → near-dup LSH edges → clusters."""
 
     def __init__(self, spark: SparkSession, cfg: DedupConfig, work_dir: str,
-                 run_id: str | None = None, checkpoint: bool = True):
+                 run_id: str | None = None, checkpoint: bool = True,
+                 catalog: str | None = None, namespace: str = "corpus_dedup"):
         """``checkpoint=False`` runs the identical dataflow with NO stage
         writes/reads (stages compose lazily; nothing is resumable). Its purpose
         is measurement: the checkpointed/compute-only wall-clock delta at two
         cluster sizes isolates how much of the pipeline's scaling is bounded by
         STORAGE bandwidth (which on a real cluster grows with the cluster —
         object store + per-node NVMe — but on one box is a fixed memory bus)
-        versus the engine's own plan shape. Production runs keep the default."""
+        versus the engine's own plan shape. Production runs keep the default.
+
+        ``catalog`` routes stage checkpoints through an ICEBERG catalog
+        (``writeTo(...).createOrReplace()`` with the config hash as a table
+        property; reads via ``spark.table``; per-partition lineage counters
+        from the Iceberg ``.files`` metadata table — real manifest stats
+        instead of the local parquet-footer analog). Pass a catalog name,
+        or ``"auto"`` to use :func:`detect_iceberg_catalog`; None (or auto
+        with no catalog configured) keeps the parquet stand-in under
+        ``work_dir``. Lineage and stage metadata stay under ``work_dir``
+        either way."""
         self.spark = spark
         self.cfg = cfg
         self.work_dir = work_dir
         self.run_id = run_id or uuid.uuid4().hex[:12]
         self.checkpoint = checkpoint
+        self.catalog = (detect_iceberg_catalog(spark) if catalog == "auto"
+                        else catalog)
+        self.namespace = namespace
         #: rows written per stage this run, from parquet footer metadata
         #: (not populated for stages reused from a previous run's checkpoint —
         #: use :func:`table_rows` on the stage dir for those)
@@ -70,9 +105,20 @@ class DedupPipeline:
     def _meta_path(self, stage: str) -> str:
         return os.path.join(self.work_dir, f"{stage}.meta.json")
 
+    def _table_name(self, stage: str) -> str:
+        return f"{self.catalog}.{self.namespace}.{stage}"
+
     def stage_is_complete(self, stage: str) -> bool:
         if not self.checkpoint:
             return False
+        if self.catalog:
+            tbl = self._table_name(stage)
+            if not self.spark.catalog.tableExists(tbl):
+                return False
+            props = {r["key"]: r["value"] for r in
+                     self.spark.sql(f"SHOW TBLPROPERTIES {tbl}").collect()}
+            return props.get("corpus_dedup.config_hash") == \
+                self.cfg.config_hash()
         d = self._stage_dir(stage)
         if not os.path.exists(os.path.join(d, "_SUCCESS")):
             return False
@@ -92,6 +138,20 @@ class DedupPipeline:
                 df = df.persist()
             return df
         t0 = time.time()
+        if self.catalog:
+            tbl = self._table_name(stage)
+            self.spark.sql(
+                f"CREATE NAMESPACE IF NOT EXISTS {self.catalog}."
+                f"{self.namespace}")
+            (df.writeTo(tbl).using("iceberg")
+             .tableProperty("corpus_dedup.config_hash",
+                            self.cfg.config_hash())
+             .tableProperty("corpus_dedup.run_id", self.run_id)
+             .createOrReplace())
+            out = self.spark.table(tbl)
+            self._record_lineage_iceberg(
+                stage, wall_ms=int((time.time() - t0) * 1000))
+            return out
         d = self._stage_dir(stage)
         df.write.mode("overwrite").parquet(d)
         out = self.spark.read.parquet(d)
@@ -104,6 +164,8 @@ class DedupPipeline:
         return out
 
     def _read(self, stage: str) -> DataFrame:
+        if self.catalog:
+            return self.spark.table(self._table_name(stage))
         return self.spark.read.parquet(self._stage_dir(stage))
 
     def _record_lineage(self, df: DataFrame, stage: str, wall_ms: int) -> None:
@@ -119,10 +181,6 @@ class DedupPipeline:
         stream just to count it, a pure serial-overhead term in the pipeline
         wall (and at 10^12 docs an extra full pass per stage). Footer reads are
         driver-side milliseconds and launch no Spark job."""
-        import datetime
-        import uuid as _uuid
-
-        import pyarrow as pa
         import pyarrow.parquet as pq
 
         d = self._stage_dir(stage)
@@ -137,6 +195,34 @@ class DedupPipeline:
             counters.append([("rows_out", md.num_rows), ("wall_ms", wall_ms),
                              ("bytes", nbytes)])
             total += md.num_rows
+        self._append_lineage(stage, d, pids, counters, total)
+
+    def _record_lineage_iceberg(self, stage: str, wall_ms: int) -> None:
+        """Iceberg-path lineage: counters from the table's ``.files`` metadata
+        table — the REAL manifest stats the parquet-footer read stands in for
+        locally. One driver-side read of the (small) manifest, no data scan."""
+        tbl = self._table_name(stage)
+        rows = (self.spark.table(f"{tbl}.files")
+                .select("file_path", "record_count", "file_size_in_bytes")
+                .collect())
+        pids, counters = [], []
+        total = 0
+        for pid, r in enumerate(sorted(rows, key=lambda r: r["file_path"])):
+            pids.append(pid)
+            counters.append([("rows_out", r["record_count"]),
+                             ("wall_ms", wall_ms),
+                             ("bytes", r["file_size_in_bytes"])])
+            total += r["record_count"]
+        self._append_lineage(stage, tbl, pids, counters, total)
+
+    def _append_lineage(self, stage: str, span: str, pids: list,
+                        counters: list, total: int) -> None:
+        import datetime
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
         self.stage_rows[stage] = total
         n = len(pids)
         now = datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
@@ -144,7 +230,7 @@ class DedupPipeline:
             "run_id": pa.array([self.run_id] * n, pa.string()),
             "stage": pa.array([stage] * n, pa.string()),
             "partition_id": pa.array(pids, pa.int32()),
-            "input_span": pa.array([d] * n, pa.string()),
+            "input_span": pa.array([span] * n, pa.string()),
             "config_hash": pa.array([self.cfg.config_hash()] * n, pa.string()),
             "counters": pa.array(counters, pa.map_(pa.string(), pa.int64())),
             "created_at": pa.array([now] * n, pa.timestamp("us")),

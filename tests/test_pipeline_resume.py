@@ -64,3 +64,33 @@ def test_lineage_rows(spark, pages, tmp_path):
     row = lin.filter(F.col("stage") == "units").collect()[0]
     assert row["config_hash"] == cfg.config_hash()
     assert row["counters"]["rows_out"] >= 0 and row["counters"]["wall_ms"] >= 0
+
+
+def test_detect_iceberg_catalog_none_in_sandbox(spark):
+    """No Iceberg jar/catalog here: detection must return None and a pipeline
+    built with catalog="auto" must stay on the parquet stand-in."""
+    from corpus_dedup_spark.plans.pipeline import detect_iceberg_catalog
+
+    assert detect_iceberg_catalog(spark) is None
+    p = DedupPipeline(spark, DedupConfig(), "/tmp/unused_wd", catalog="auto")
+    assert p.catalog is None
+
+
+def test_pipeline_iceberg_write_path(spark, pages, tmp_path):
+    """Full stage-write path through an Iceberg catalog: writeTo + table
+    properties carrying the config hash + lineage counters from the .files
+    manifest table. Skipped where no Iceberg catalog is configured (this
+    sandbox); runs unchanged on a cluster with one."""
+    from corpus_dedup_spark.plans.pipeline import detect_iceberg_catalog
+
+    cat = detect_iceberg_catalog(spark)
+    if cat is None:
+        pytest.skip("no Iceberg catalog configured")
+    cfg = DedupConfig(jaccard_threshold=0.5)
+    p = DedupPipeline(spark, cfg, str(tmp_path / "wd"), run_id="ri",
+                      catalog=cat)
+    p.run(pages)
+    assert all(p.stage_is_complete(s) for s in STAGES)
+    assert spark.table(p._table_name("deduped")).count() > 0
+    lin = p.lineage()
+    assert lin.filter(F.col("stage") == "units").count() > 0
