@@ -31,6 +31,8 @@ import shutil
 import subprocess
 import sys
 
+from pyspark.sql import functions as F  # noqa: E402  (after sys.path insert)
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
@@ -83,6 +85,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-docs", type=int, default=200000)
     ap.add_argument("--cores", type=int, default=8)
+    ap.add_argument("--mode", default="sentence",
+                    choices=["sentence", "line", "paragraph", "document"])
+    ap.add_argument("--max-length", type=int, default=0)
+    ap.add_argument("--dups", action="store_true",
+                    help="also compare the --write-duplicates sink (multiset "
+                         "of duplicate-occurrence norm units)")
     args = ap.parse_args()
 
     corpus = os.path.join(WORK, "corpus")
@@ -91,9 +99,13 @@ def main() -> None:
     scan_names, ranked_urls = dump_rank_named(args.n_docs, corpus)
     url_of_name = dict(zip(scan_names, ranked_urls))
 
+    cmd = [binary, corpus, refout, "--dedup-mode", args.mode]
+    if args.max_length:
+        cmd += ["--max-length", str(args.max_length)]
+    if args.dups:
+        cmd += ["--write-duplicates"]
     shutil.rmtree(refout, ignore_errors=True)
-    r = subprocess.run([binary, corpus, refout],
-                       env={**os.environ, "DEDUP_THREADS": "1"},
+    r = subprocess.run(cmd, env={**os.environ, "DEDUP_THREADS": "1"},
                        capture_output=True, text=True, check=True)
     summary = [ln for ln in r.stdout.splitlines() if "Dedup summary" in ln][-1]
 
@@ -113,10 +125,26 @@ def main() -> None:
                           shuffle_partitions=max(8, args.cores))
     spark.sparkContext.setLogLevel("ERROR")
     pages = spark.read.parquet(pages_path)
-    deduped, obs = run_exact_dedup_observed(pages)
+    deduped, obs = run_exact_dedup_observed(pages, mode=args.mode,
+                                            max_length=args.max_length)
     ours = {row["url"]: row["dedup_text"].encode("utf-8")
             for row in deduped.collect()}
     stats = obs.get
+
+    dups_equal = None
+    if args.dups:
+        from collections import Counter
+
+        from corpus_dedup_spark.operators.exact_dedup import (
+            explode_units_arrow, mark_duplicates)
+        with open(os.path.join(refout, "duplicates.txt"), "rb") as fh:
+            ref_dups = Counter(fh.read().splitlines())
+        units = explode_units_arrow(pages, mode=args.mode,
+                                    max_length=args.max_length)
+        rows = (mark_duplicates(units).filter(F.col("is_dup"))
+                .select("norm_unit").collect())
+        eng_dups = Counter(bytes(row["norm_unit"]) for row in rows)
+        dups_equal = ref_dups == eng_dups
     spark.stop()
 
     only_ref = sorted(set(ref_docs) - set(ours))
@@ -124,6 +152,9 @@ def main() -> None:
     diff = [u for u in ref_docs if u in ours and ref_docs[u] != ours[u]]
     print(json.dumps({
         "n_docs": args.n_docs,
+        "mode": args.mode,
+        "max_length": args.max_length,
+        "duplicates_sink_equal": dups_equal,
         "ref_written": len(ref_docs),
         "engine_written": len(ours),
         "only_ref": len(only_ref),
