@@ -191,13 +191,16 @@ def main() -> None:
         n_out, stats_row, clusters, n_clustered = one_headline_round()
     # Storm detection: a >2x spread across same-code samples is the fingerprint
     # of co-tenant CPU steal (measured 5-6x swings on this host), not of the
-    # code under test. Take up to 2 extra interleaved rounds hunting a clean
-    # window, and annotate the residual spread in the output JSON so a noisy
-    # round is readable as noisy from the artifact alone.
+    # code under test. Take up to 6 extra interleaved rounds hunting a clean
+    # window (r5: 2 extras were exhausted on a day of back-to-back storms
+    # while the true walls were 2x lower — each extra round costs ~15-30 s
+    # and only runs when the artifact would otherwise record noise), and
+    # annotate the residual spread in the output JSON so a noisy round is
+    # readable as noisy from the artifact alone.
     spread = lambda s: (max(s) / min(s)) if s and min(s) > 0 else 1.0  # noqa: E731
     extra = 0
-    while extra < 2 and repeats > 1 and max(spread(exact_samples),
-                                            spread(near_samples)) > 2.0:
+    while extra < 6 and repeats > 1 and max(spread(exact_samples),
+                                            spread(near_samples)) > 1.8:
         extra += 1
         n_out, stats_row, clusters, n_clustered = one_headline_round()
     t_exact, t_near = min(exact_samples), min(near_samples)
