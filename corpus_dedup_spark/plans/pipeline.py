@@ -39,8 +39,10 @@ def detect_iceberg_catalog(spark: SparkSession) -> str | None:
     ``catalog="auto"`` to :class:`DedupPipeline` routes every stage write
     through ``writeTo(...)`` instead."""
     try:
-        confs = spark.sparkContext.getConf().getAll()
-    except Exception:  # pragma: no cover - defensive; SparkConf is always there
+        # SET lists every explicitly-set conf: spark-defaults, --conf, AND
+        # runtime spark.conf.set — SparkConf.getAll alone misses the latter
+        confs = [(r["key"], r["value"]) for r in spark.sql("SET").collect()]
+    except Exception:  # pragma: no cover - defensive
         return None
     for k, v in confs:
         if k.startswith("spark.sql.catalog.") and k.count(".") == 3 \
