@@ -198,9 +198,18 @@ def main() -> None:
     # annotate the residual spread in the output JSON so a noisy round is
     # readable as noisy from the artifact alone.
     spread = lambda s: (max(s) / min(s)) if s and min(s) > 0 else 1.0  # noqa: E731
+
+    def settled(s: list[float]) -> bool:
+        # the minimum is trustworthy once a SECOND sample lands within 25%
+        # of it — the cumulative max/min spread can never settle (one stormy
+        # early sample pins it high forever), so it would always burn every
+        # extra round even after a clean window was found twice
+        b = sorted(s)[:2]
+        return len(b) > 1 and b[0] > 0 and b[1] / b[0] <= 1.25
+
     extra = 0
-    while extra < 6 and repeats > 1 and max(spread(exact_samples),
-                                            spread(near_samples)) > 1.8:
+    while extra < 6 and repeats > 1 and not (settled(exact_samples)
+                                             and settled(near_samples)):
         extra += 1
         n_out, stats_row, clusters, n_clustered = one_headline_round()
     t_exact, t_near = min(exact_samples), min(near_samples)

@@ -1375,6 +1375,26 @@ def _assemble_units(
     return doc_idx, unit_idx, values, offsets
 
 
+def _concat_flat_parts(
+    parts: list[tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]],
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Merge (doc_idx, unit_idx, values, offsets) flat-unit parts into one,
+    rebasing each subsequent part's offsets onto the growing value buffer.
+    Shared by the list and Arrow batch extractors, which must stay
+    bit-identical."""
+    if len(parts) == 1:
+        return parts[0]
+    doc_idx = np.concatenate([p[0] for p in parts])
+    unit_idx = np.concatenate([p[1] for p in parts])
+    values = np.concatenate([p[2] for p in parts])
+    offsets = [parts[0][3]]
+    base = parts[0][3][-1]
+    for p in parts[1:]:
+        offsets.append(p[3][1:] + base)
+        base += p[3][-1]
+    return doc_idx, unit_idx, values, np.concatenate(offsets)
+
+
 def extract_units_batch_flat(
     texts: list[bytes], mode: str = "sentence", max_length: int = 0
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
@@ -1462,17 +1482,7 @@ def extract_units_batch_flat(
     if not parts:
         z = np.empty(0, dtype=np.int64)
         return z, z.copy(), np.empty(0, dtype=np.uint8), np.zeros(1, np.int64)
-    if len(parts) == 1:
-        return parts[0]
-    doc_idx = np.concatenate([p[0] for p in parts])
-    unit_idx = np.concatenate([p[1] for p in parts])
-    values = np.concatenate([p[2] for p in parts])
-    offsets = [parts[0][3]]
-    base = parts[0][3][-1]
-    for p in parts[1:]:
-        offsets.append(p[3][1:] + base)
-        base += p[3][-1]
-    return doc_idx, unit_idx, values, np.concatenate(offsets)
+    return _concat_flat_parts(parts)
 
 
 # vectorized form of _WS_TO_SPACE: one uint8 LUT gather translates a whole
@@ -1561,17 +1571,7 @@ def extract_units_batch_flat_arrow(
                                      max_length))
     if not parts:
         return empty
-    if len(parts) == 1:
-        return parts[0]
-    doc_idx = np.concatenate([p[0] for p in parts])
-    unit_idx = np.concatenate([p[1] for p in parts])
-    values = np.concatenate([p[2] for p in parts])
-    offsets = [parts[0][3]]
-    base = parts[0][3][-1]
-    for p in parts[1:]:
-        offsets.append(p[3][1:] + base)
-        base += p[3][-1]
-    return doc_idx, unit_idx, values, np.concatenate(offsets)
+    return _concat_flat_parts(parts)
 
 
 def combine_keepers_flat(

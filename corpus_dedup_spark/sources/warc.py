@@ -69,15 +69,23 @@ def _iter_decompressed(data: bytes, chunk: int = _GZ_CHUNK) -> Iterator[bytes]:
     pos, n = 0, len(data)
     obj = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
     while pos < n:
+        hi = min(pos + chunk, n)
         try:
-            out = obj.decompress(mv[pos:pos + chunk])
+            # max_length bounds the OUTPUT too: without it, one compressed
+            # chunk of a pathological member (zlib inflates up to ~1032:1)
+            # could materialize gigabytes in a single call — the exact
+            # unbounded allocation this streaming loop exists to prevent.
+            # Input the call didn't consume stays in unconsumed_tail (not
+            # yet at member end) or unused_data (past member end); both are
+            # re-fed by rewinding pos, so alignment stays in the original
+            # buffer and a member header split across chunks is impossible.
+            out = obj.decompress(mv[pos:hi], chunk)
         except zlib.error:
             return  # corrupt member: stop at the last whole chunk
-        pos = min(pos + chunk, n)
+        pos = hi - len(obj.unconsumed_tail) - len(obj.unused_data)
         if out:
             yield out
         if obj.eof:
-            pos -= len(obj.unused_data)  # rewind to the next member's start
             if pos >= n or data[pos:pos + 2] != b"\x1f\x8b":
                 return  # trailing garbage after the last member: tolerate
             obj = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
@@ -180,11 +188,6 @@ class _WarcStreamParser:
                                   fields.get("warc-date", ""), body))
         if pos:
             del buf[:pos]
-
-    def feed_stream(self, data: bytes) -> None:
-        """Feed a whole raw file (gzip or plain) through the chunked path."""
-        for chunk in _iter_decompressed(data):
-            self.feed(chunk)
 
 
 def _parse_warc_bytes(data: bytes) -> list[tuple[str, str, bytes]]:

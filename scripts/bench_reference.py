@@ -157,7 +157,9 @@ def main() -> None:
     n = dump_corpus(args.n_docs, corpus)
 
     results: dict[str, dict[str, float]] = {}
-    parity_ok = True
+    # None until a summary line is actually parsed: a crashed/odd-format run
+    # must not report parity vacuously true
+    parity_ok: bool | None = None
     for rnd in range(args.rounds):
         for t in args.threads:
             for name, b in bins.items():
@@ -166,11 +168,15 @@ def main() -> None:
                 results.setdefault(key, {"best": float("inf"), "all": []})
                 results[key]["all"].append(round(wall, 2))
                 results[key]["best"] = min(results[key]["best"], round(wall, 2))
-                m = re.search(r"unique sentences (\d+), duplicate sentences (\d+)",
-                              summary)
-                if m and (m.group(1), m.group(2)) != ("4063632", "1545333") \
-                        and args.n_docs == 200000:
-                    parity_ok = False
+                if args.n_docs == 200000:
+                    m = re.search(
+                        r"unique sentences (\d+), duplicate sentences (\d+)",
+                        summary)
+                    if not m:
+                        parity_ok = False  # unparseable run is NOT parity
+                    else:
+                        ok = (m.group(1), m.group(2)) == ("4063632", "1545333")
+                        parity_ok = ok if parity_ok is None else (parity_ok and ok)
                 print(json.dumps({"round": rnd, "bin": name, "threads": t,
                                   "wall": round(wall, 2),
                                   "docs_per_sec": round(n / wall, 1)}))

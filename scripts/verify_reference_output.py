@@ -39,8 +39,9 @@ sys.path.insert(0, REPO)
 WORK = os.environ.get("REF_VERIFY_DIR", "/dev/shm/refverify")
 
 
-def dump_rank_named(n_docs: int, out: str) -> list[str]:
-    """One file per doc, named doc_<url-rank>.txt; returns urls in rank order."""
+def dump_rank_named(n_docs: int, out: str) -> tuple[list[str], list[str]]:
+    """One file per doc; returns (names in readdir order, urls in rank order),
+    aligned index-by-index: the k-th readdir name holds the rank-k url's text."""
     import pyarrow.parquet as pq
 
     from bench import ensure_pages_cache
