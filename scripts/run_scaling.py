@@ -56,6 +56,44 @@ def do_round(i: int) -> None:
             print(json.dumps(r))
 
 
+# Section titles report() regenerates itself; any other "## " section found in
+# the existing BENCH.md (e.g. the same-host reference anchor, per-round
+# measurement-condition notes) is manual evidence and is carried over verbatim.
+GENERATED_SECTIONS = (
+    "Protocol",
+    "Results (best per level)",
+    "Multi-JVM executor scaling",
+    "Deployment evidence",
+    "Hardware calibration",
+    "Delta vs round 1",
+    "All raw runs",
+)
+
+
+def _manual_sections(path: str) -> list[str]:
+    if not os.path.exists(path):
+        return []
+    kept, cur, keep = [], [], False
+    for ln in open(path).read().splitlines():
+        if ln.startswith("## "):
+            if keep and cur:
+                kept.extend(cur)
+            title = ln[3:].strip()
+            keep = not any(title.startswith(g) for g in GENERATED_SECTIONS)
+            cur = [ln, ""] if keep else []
+        elif keep and ln.startswith("# "):
+            kept.extend(cur)
+            cur, keep = [], False
+        elif keep:
+            cur.append(ln)
+    if keep and cur:
+        kept.extend(cur)
+    # trim trailing blank lines so insertion spacing stays tidy
+    while kept and not kept[-1].strip():
+        kept.pop()
+    return kept
+
+
 def report(min_round: int = 0) -> None:
     # min_round guards against mixing code versions: per-level minima must all
     # come from runs of the SAME engine code, or the ratio compares two engines
@@ -131,6 +169,9 @@ def report(min_round: int = 0) -> None:
             "brings its own memory channels), while 2→8 cores pushes a single",
             "box's shared bus — see the hardware calibration below.",
         ]
+    manual = _manual_sections(os.path.join(REPO, "BENCH.md"))
+    if manual:
+        lines += ["", *manual]
     cl_path = os.path.join(REPO, ".bench_cache", "scaling_cluster_summary.json")
     if os.path.exists(cl_path):
         cl = json.load(open(cl_path))
