@@ -1802,6 +1802,179 @@ FROM documents GROUP BY source
 """
 
 
+def _docs_spliced(spark, sf_dir):
+    """documents ∪ deterministic splice docs for the ExactSubstr leg.
+
+    The driver docs share no 40-char substrings, so duplicated spans must be
+    planted. Every doc with doc_id % 20 == 10 (disjoint from _docs_augmented's
+    full copies) contributes one splice at doc_id + 2e6: 120 chars copied from
+    itself (offset 20) + ' ' + 120 chars copied from its successor (offset 60).
+    Expected maximal spans: [20,140) in the first source, [60,180) in the
+    second, [0,120) and [121,241) in the splice — partial, NOT whole-doc, so a
+    span-merge off-by-one cannot hide behind full-copy degeneracy."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    splices = (
+        docs.alias("a")
+        .join(docs.alias("b"), F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .filter(
+            (F.col("a.doc_id") % 20 == 10)
+            & (F.length("a.text") >= 140)
+            & (F.length("b.text") >= 180)
+        )
+        .select(
+            (F.col("a.doc_id") + 2_000_000).alias("doc_id"),
+            F.concat(
+                F.expr("substring(a.text, 21, 120)"),
+                F.lit(" "),
+                F.expr("substring(b.text, 61, 120)"),
+            ).alias("text"),
+        )
+    )
+    return docs.unionByName(splices)
+
+
+SQL_SPLICED = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT a.doc_id + 2000000 AS doc_id,
+         substr(a.text, 21, 120) || ' ' || substr(b.text, 61, 120) AS text
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+  WHERE a.doc_id % 20 = 10 AND length(a.text) >= 140 AND length(b.text) >= 180
+"""
+
+_ES_W = 40  # ExactSubstr window (chars); Lee et al. 2021 use 50 BPE tokens
+
+
+def q_exact_substr_spans(spark, sf_dir):
+    """ExactSubstr dedup (suffix-array-substring semantics, Lee et al. 2021):
+    maximal spans of length ≥ 40 whose every 40-char window occurs ≥ 2 times
+    corpus-wide. The oracle recomputes the full definition — windows, content
+    counts, gaps-and-islands merge — so span boundaries are value-checked to
+    the character."""
+    from corpus_dedup_spark.operators.exact_substr import duplicate_substring_spans
+
+    return duplicate_substring_spans(
+        _docs_spliced(spark, sf_dir), window=_ES_W, id_col="doc_id"
+    )
+
+
+SQL_EXACT_SUBSTR_CORE = f"""
+wins0 AS (
+  -- unnest(range(...)) instead of a lateral generate_series: correlated
+  -- table-function args are not portable across DuckDB versions
+  SELECT doc_id, text,
+         unnest(range(0, length(text) - {_ES_W - 1})) AS pos
+  FROM aug WHERE length(text) >= {_ES_W}
+),
+wins AS (
+  SELECT doc_id, pos, substr(text, pos + 1, {_ES_W}) AS win FROM wins0
+),
+dup AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos, count(*) OVER (PARTITION BY win) AS c FROM wins
+  ) WHERE c > 1
+),
+brk AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                   OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                      > {_ES_W}
+              THEN 1 ELSE 0 END AS b
+  FROM dup
+),
+isl AS (
+  SELECT doc_id, pos,
+         sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM brk
+),
+spans AS (
+  SELECT doc_id,
+         CAST(min(pos) AS BIGINT) AS span_start,
+         CAST(max(pos) + {_ES_W} AS BIGINT) AS span_end,
+         CAST(max(pos) + {_ES_W} - min(pos) AS BIGINT) AS span_len
+  FROM isl GROUP BY doc_id, island
+)
+"""
+
+SQL_EXACT_SUBSTR_SPANS = f"""
+WITH aug AS ({SQL_SPLICED}),
+{SQL_EXACT_SUBSTR_CORE}
+SELECT doc_id, span_start, span_end, span_len FROM spans
+"""
+
+
+def q_exact_substr_stats(spark, sf_dir):
+    """Per-document duplicated-character accounting over the ExactSubstr spans
+    (0 rows-with-spans collapse to zeros, so every document is value-checked,
+    span-free ones included)."""
+    from corpus_dedup_spark.operators.exact_substr import (
+        duplicate_span_stats, duplicate_substring_spans)
+
+    docs = _docs_spliced(spark, sf_dir)
+    spans = duplicate_substring_spans(docs, window=_ES_W, id_col="doc_id")
+    return duplicate_span_stats(spans, docs, id_col="doc_id")
+
+
+def q_exact_substr_clean(spark, sf_dir):
+    """ExactSubstr dedup OUTPUT (Lee et al. 2021 "drop duplicated text"
+    variant): every character inside a maximal duplicated span is cut from
+    every occurrence; the cleaned text ITSELF is value-hashed, so a splice
+    off-by-one anywhere in the span arithmetic fails the oracle."""
+    from corpus_dedup_spark.operators.exact_substr import (
+        cut_duplicate_spans, duplicate_substring_spans)
+
+    docs = _docs_spliced(spark, sf_dir)
+    spans = duplicate_substring_spans(docs, window=_ES_W, id_col="doc_id")
+    return cut_duplicate_spans(docs, spans, id_col="doc_id")
+
+
+SQL_EXACT_SUBSTR_CLEAN = f"""
+WITH aug AS ({SQL_SPLICED}),
+{SQL_EXACT_SUBSTR_CORE},
+segs AS (
+  -- keep-segments between spans: [prev span end, this span start) ...
+  SELECT doc_id,
+         coalesce(lag(span_end) OVER (PARTITION BY doc_id ORDER BY span_start),
+                  0) AS seg_start,
+         span_start AS seg_end
+  FROM spans
+  UNION ALL
+  -- ... plus the tail after the last span
+  SELECT s.doc_id, max(s.span_end) AS seg_start,
+         max(length(d.text)) AS seg_end
+  FROM spans s JOIN aug d USING (doc_id) GROUP BY s.doc_id
+),
+cleaned AS (
+  SELECT g.doc_id,
+         string_agg(substr(d.text, CAST(g.seg_start + 1 AS INT),
+                           CAST(g.seg_end - g.seg_start AS INT)),
+                    '' ORDER BY g.seg_start) AS clean_text
+  FROM segs g JOIN aug d USING (doc_id)
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       coalesce(c.clean_text, d.text) AS clean_text,
+       CAST(length(d.text) - length(coalesce(c.clean_text, d.text)) AS BIGINT)
+         AS n_removed
+FROM aug d LEFT JOIN cleaned c USING (doc_id)
+"""
+
+
+SQL_EXACT_SUBSTR_STATS = f"""
+WITH aug AS ({SQL_SPLICED}),
+{SQL_EXACT_SUBSTR_CORE}
+SELECT d.doc_id,
+       CAST(length(d.text) AS BIGINT) AS n_chars,
+       CAST(COALESCE(s.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(COALESCE(s.dup_chars, 0) AS BIGINT) AS dup_chars
+FROM aug d
+LEFT JOIN (
+  SELECT doc_id, count(*) AS n_spans, sum(span_len) AS dup_chars
+  FROM spans GROUP BY doc_id
+) s USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1854,6 +2027,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_scrub": q_pii_scrub,  # ROOTS-style PII redaction (r4)
     "corpus_rollup": q_corpus_rollup,  # multi-level ROLLUP stats (r4)
     "source_medians": q_source_medians,  # exact ordered-statistics agg (r4)
+    # r5: ExactSubstr (suffix-array-substring) duplicate spans, Lee et al. 2021
+    "exact_substr_spans": q_exact_substr_spans,
+    "exact_substr_stats": q_exact_substr_stats,
+    "exact_substr_clean": q_exact_substr_clean,
 }
 
 ORACLES: dict[str, str] = {
@@ -1902,4 +2079,7 @@ ORACLES: dict[str, str] = {
     "pii_scrub": SQL_PII_SCRUB,
     "corpus_rollup": SQL_CORPUS_ROLLUP,
     "source_medians": SQL_SOURCE_MEDIANS,
+    "exact_substr_spans": SQL_EXACT_SUBSTR_SPANS,
+    "exact_substr_stats": SQL_EXACT_SUBSTR_STATS,
+    "exact_substr_clean": SQL_EXACT_SUBSTR_CLEAN,
 }

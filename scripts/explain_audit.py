@@ -196,6 +196,31 @@ def main() -> None:
            else ["__EXACTLY_ONE_EXCHANGE__"]),
     ))
 
+    # 6d. ExactSubstr duplicated spans: window explode is whole-stage codegen
+    # (no Python anywhere); the prefilter aggregation shuffles ONLY the 8-byte
+    # xxhash64 (column pruning drops the window text before the exchange), and
+    # window text crosses the wire only for hash-survivors; the island merge is
+    # a per-doc window over duplicated positions alone.
+    from corpus_dedup_spark.operators.exact_substr import \
+        duplicate_substring_spans
+
+    es = duplicate_substring_spans(
+        pages.selectExpr("url AS doc_id", "text"), window=40)
+    es_plan = plan_of(es)
+    # the hot-hash exchange must not carry the window text: the aggregate
+    # feeding hashpartitioning(_h) prunes to the hash column only
+    hot_agg = re.search(
+        r"\(\d+\) HashAggregate[^\n]*\nInput \[1\]: \[_h#\d+L\]", es_plan)
+    sections.append((
+        "ExactSubstr duplicate spans (codegen window explode; hash-only "
+        "prefilter exchange; island merge windows only duplicated positions)",
+        es_plan,
+        ["xxhash64", "hashpartitioning(_h",
+         "!ArrowEvalPython", "!BatchEvalPython", "!MapInPandas"]
+        + (["!__HOT_AGG_CARRIES_TEXT__"] if hot_agg
+           else ["__HOT_AGG_INPUT_IS_HASH_ONLY__"]),
+    ))
+
     # 7. search line/col derivation: pure codegen expressions, no Python
     # (synthetic hits input so the plan isolates the derivation itself)
     from corpus_dedup_spark.operators.search import with_line_col
