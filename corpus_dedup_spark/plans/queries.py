@@ -1975,6 +1975,85 @@ LEFT JOIN (
 """
 
 
+def _duck_cos(a: str, b: str) -> str:
+    """DuckDB cosine between two list columns — same fold order as Spark's
+    F.aggregate left fold in _cosine_expr, so the doubles match bit for bit
+    (the pattern SQL_EMBEDDING_TOP1/SQL_EMBEDDING_ANN already rely on)."""
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}), "
+        f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) "
+        f"/ (sqrt(list_sum(list_transform({a}, "
+        f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) "
+        f"* sqrt(list_sum(list_transform({b}, "
+        f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+    )
+
+
+_IVF_K = 3
+_IVF_CENTROIDS = 8
+_IVF_NPROBE = 2
+
+
+def q_embedding_ivf(spark, sf_dir):
+    """IVF-Flat ANN (third similarity rung after brute force and hyperplane
+    LSH): seeded-sample centroids, broadcast argmax assignment, nprobe-cell
+    search. The oracle replays the full index — the Knuth-hash centroid
+    sample, the argmax cell assignment, the probe ranking, and the in-cell
+    exact cosine top-k — so the whole index construction is value-checked,
+    not just the final neighbor list."""
+    from corpus_dedup_spark.operators.ivf_ann import ivf_topk
+
+    emb = _embeddings(spark, sf_dir).select("vec_id", "embedding")
+    probes = emb.filter(F.col("vec_id") < 50)
+    return ivf_topk(emb, probes, k=_IVF_K, n_centroids=_IVF_CENTROIDS,
+                    nprobe=_IVF_NPROBE).select(
+        "probe_id", "neighbor_id",
+        F.round(F.col("cosine"), 4).alias("cos_r"), "rank")
+
+
+SQL_EMBEDDING_IVF = f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cvec
+  FROM embeddings
+  ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
+  LIMIT {_IVF_CENTROIDS}
+),
+cscore AS (
+  SELECT v.vec_id, c.cid, {_duck_cos('v.embedding', 'c.cvec')} AS cs
+  FROM embeddings v CROSS JOIN cent c
+),
+assign AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid, row_number() OVER (
+      PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS rn
+    FROM cscore) t WHERE rn = 1
+),
+pcells AS (
+  SELECT vec_id AS probe_id, cid AS cell FROM (
+    SELECT vec_id, cid, row_number() OVER (
+      PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS rn
+    FROM cscore WHERE vec_id < 50) t WHERE rn <= {_IVF_NPROBE}
+),
+cand AS (
+  SELECT p.probe_id, a.vec_id AS neighbor_id
+  FROM pcells p JOIN assign a USING (cell)
+  WHERE a.vec_id <> p.probe_id
+),
+scored AS (
+  SELECT c.probe_id, c.neighbor_id,
+         {_duck_cos('a.embedding', 'b.embedding')} AS cos
+  FROM cand c
+  JOIN embeddings a ON a.vec_id = c.probe_id
+  JOIN embeddings b ON b.vec_id = c.neighbor_id
+)
+SELECT probe_id, neighbor_id, round(cos, 4) AS cos_r, CAST(rn AS INT) AS rank
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY probe_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+      FROM scored) t
+WHERE rn <= {_IVF_K}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2031,6 +2110,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_substr_spans": q_exact_substr_spans,
     "exact_substr_stats": q_exact_substr_stats,
     "exact_substr_clean": q_exact_substr_clean,
+    "embedding_ivf": q_embedding_ivf,  # r5: IVF-Flat ANN (third rung)
 }
 
 ORACLES: dict[str, str] = {
@@ -2082,4 +2162,5 @@ ORACLES: dict[str, str] = {
     "exact_substr_spans": SQL_EXACT_SUBSTR_SPANS,
     "exact_substr_stats": SQL_EXACT_SUBSTR_STATS,
     "exact_substr_clean": SQL_EXACT_SUBSTR_CLEAN,
+    "embedding_ivf": SQL_EMBEDDING_IVF,
 }

@@ -221,6 +221,24 @@ def main() -> None:
            else ["__HOT_AGG_INPUT_IS_HASH_ONLY__"]),
     ))
 
+    # 6e. IVF ANN: the K centroids reach every vector via a broadcast
+    # nested-loop join (NEVER a CartesianProduct shuffle), and the cell
+    # assignment collapses the N×K scored stream with a partial_max aggregate
+    # before its exchange — no window over the cross product.
+    from corpus_dedup_spark.operators.ivf_ann import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding")
+    ivf = ivf_topk(emb, emb.filter("vec_id < 20"), k=3, n_centroids=8,
+                   nprobe=2)
+    sections.append((
+        "IVF ANN top-k (broadcast centroids; partial-combining argmax "
+        "assignment; no cartesian shuffle)",
+        plan_of(ivf),
+        ["BroadcastNestedLoopJoin", "partial_max", "!CartesianProduct",
+         "!ArrowEvalPython", "!BatchEvalPython"],
+    ))
+
     # 7. search line/col derivation: pure codegen expressions, no Python
     # (synthetic hits input so the plan isolates the derivation itself)
     from corpus_dedup_spark.operators.search import with_line_col
