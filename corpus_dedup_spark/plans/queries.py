@@ -2054,6 +2054,151 @@ WHERE rn <= {_IVF_K}
 """
 
 
+def _docs_multiline(spark, sf_dir):
+    """documents reshaped into a deterministic multi-line corpus for the C4 /
+    Gopher rule filters (the driver text is single-line, period-free — the
+    rules would be vacuous on it). Break into '.'-terminated lines at every
+    ' table' token, then plant per-rule triggers on disjoint doc_id residues:
+    curly brace (%17=3), lorem ipsum (%19=4), a javascript line (%13=5), a
+    short unterminated line (%11=6), bullet-heavy lines (%23=7), symbol spam
+    (%29=8), ellipsis-heavy lines (%31=9), extra stop words (%5=0) — so every
+    flag takes BOTH values across the corpus and a sign error in any rule
+    flips hashed rows."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    base = F.replace(F.col("text"), F.lit(" table"), F.lit(".\ntable"))
+
+    def plant(mod, r, lit_expr):
+        return F.when(F.col("doc_id") % mod == r, lit_expr).otherwise(F.lit(""))
+
+    text = F.concat(
+        base,
+        plant(17, 3, F.lit(" {")),
+        plant(19, 4, F.lit("\nlorem ipsum")),
+        plant(13, 5, F.lit("\nPowered by javascript engine.")),
+        plant(11, 6, F.lit("\nclick here")),
+        plant(23, 7, F.expr(r"repeat('\n• item', 20)")),
+        plant(29, 8, F.expr("repeat(' #', 12)")),
+        plant(31, 9, F.expr(r"repeat('\n wait...', 15)")),
+        plant(5, 0, F.lit(" and that have with")),
+    )
+    return d.select("doc_id", text.alias("text"))
+
+
+SQL_MULTILINE = """
+  SELECT doc_id,
+    replace(text, ' table', '.' || chr(10) || 'table')
+    || CASE WHEN doc_id % 17 = 3 THEN ' {' ELSE '' END
+    || CASE WHEN doc_id % 19 = 4 THEN chr(10) || 'lorem ipsum' ELSE '' END
+    || CASE WHEN doc_id % 13 = 5
+         THEN chr(10) || 'Powered by javascript engine.' ELSE '' END
+    || CASE WHEN doc_id % 11 = 6 THEN chr(10) || 'click here' ELSE '' END
+    || CASE WHEN doc_id % 23 = 7
+         THEN repeat(chr(10) || '• item', 20) ELSE '' END
+    || CASE WHEN doc_id % 29 = 8 THEN repeat(' #', 12) ELSE '' END
+    || CASE WHEN doc_id % 31 = 9
+         THEN repeat(chr(10) || ' wait...', 15) ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN ' and that have with' ELSE '' END
+    AS text
+  FROM documents
+"""
+
+
+def q_c4_line_filter(spark, sf_dir):
+    """C4 cleaning rules (Raffel et al. 2020 §2.2): per-line terminal-punct /
+    ≥3-words / no-javascript keep predicate + page-level lorem-ipsum, curly
+    brace, ≥5-surviving-lines verdict. The cleaned text itself is
+    value-hashed, so a predicate flipped on any single line fails."""
+    from corpus_dedup_spark.operators.quality_filters import c4_line_filter
+
+    return c4_line_filter(_docs_multiline(spark, sf_dir))
+
+
+SQL_C4_LINE_FILTER = rf"""
+WITH ml AS ({SQL_MULTILINE}),
+k AS (
+  SELECT doc_id, text,
+    list_filter(string_split(text, chr(10)), l ->
+      len(list_filter(string_split_regex(trim(l), '\s+'), x -> x <> '')) >= 3
+      AND right(rtrim(l), 1) IN ('.', '!', '?', '"')
+      AND NOT contains(lower(l), 'javascript')) AS kept
+  FROM ml
+)
+SELECT doc_id,
+  CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+  CAST(len(kept) AS BIGINT) AS n_kept,
+  CAST(CASE WHEN NOT contains(lower(text), 'lorem ipsum')
+             AND NOT contains(text, '{{')
+             AND len(kept) >= 5 THEN 1 ELSE 0 END AS BIGINT) AS page_kept,
+  coalesce(array_to_string(kept, chr(10)), '') AS clean_text
+FROM k
+"""
+
+
+def q_gopher_quality(spark, sf_dir):
+    """Gopher quality rules (Rae et al. 2021 A1.1) as per-doc counters +
+    integer flags — every threshold evaluated in integer arithmetic on both
+    sides, so the oracle is float-drift-free by construction."""
+    from corpus_dedup_spark.operators.quality_filters import \
+        gopher_quality_flags
+
+    return gopher_quality_flags(_docs_multiline(spark, sf_dir))
+
+
+SQL_GOPHER_QUALITY = rf"""
+WITH ml AS ({SQL_MULTILINE}),
+feat AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS words,
+    string_split(text, chr(10)) AS lines,
+    CAST((length(text) - length(replace(text, '#', '')))
+         + (length(text) - length(replace(text, '...', ''))) / 3
+         AS BIGINT) AS n_sym
+  FROM ml
+),
+cnt AS (
+  SELECT doc_id, n_sym,
+    CAST(len(words) AS BIGINT) AS n_words,
+    CAST(coalesce(list_sum(list_transform(words, x -> length(x))), 0)
+         AS BIGINT) AS n_word_chars,
+    CAST(len(lines) AS BIGINT) AS n_lines,
+    CAST(len(list_filter(lines,
+         l -> left(ltrim(l), 1) IN ('•', '-', '*'))) AS BIGINT) AS n_bullet,
+    CAST(len(list_filter(lines,
+         l -> ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…')))
+         AS BIGINT) AS n_ellipsis,
+    CAST(len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]')))
+         AS BIGINT) AS n_alpha,
+    CAST((CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'the')  THEN 1 ELSE 0 END)
+       + (CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'be')   THEN 1 ELSE 0 END)
+       + (CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'to')   THEN 1 ELSE 0 END)
+       + (CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'of')   THEN 1 ELSE 0 END)
+       + (CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'and')  THEN 1 ELSE 0 END)
+       + (CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'that') THEN 1 ELSE 0 END)
+       + (CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'have') THEN 1 ELSE 0 END)
+       + (CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'with') THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_stop
+  FROM feat
+)
+SELECT doc_id, n_words, n_word_chars, n_sym, n_lines, n_bullet, n_ellipsis,
+  n_alpha, n_stop,
+  CAST(CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 ELSE 0 END AS BIGINT) AS wc_ok,
+  CAST(CASE WHEN 3 * n_words <= n_word_chars AND n_word_chars <= 10 * n_words THEN 1 ELSE 0 END AS BIGINT) AS mwl_ok,
+  CAST(CASE WHEN 10 * n_sym <= n_words THEN 1 ELSE 0 END AS BIGINT) AS sym_ok,
+  CAST(CASE WHEN 10 * n_bullet <= 9 * n_lines THEN 1 ELSE 0 END AS BIGINT) AS bullet_ok,
+  CAST(CASE WHEN 10 * n_ellipsis <= 3 * n_lines THEN 1 ELSE 0 END AS BIGINT) AS ellipsis_ok,
+  CAST(CASE WHEN 5 * n_alpha >= 4 * n_words THEN 1 ELSE 0 END AS BIGINT) AS alpha_ok,
+  CAST(CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS stop_ok,
+  CAST(CASE WHEN n_words >= 50 AND n_words <= 100000
+         AND 3 * n_words <= n_word_chars AND n_word_chars <= 10 * n_words
+         AND 10 * n_sym <= n_words
+         AND 10 * n_bullet <= 9 * n_lines
+         AND 10 * n_ellipsis <= 3 * n_lines
+         AND 5 * n_alpha >= 4 * n_words
+         AND n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS gopher_pass
+FROM cnt
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2111,6 +2256,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_substr_stats": q_exact_substr_stats,
     "exact_substr_clean": q_exact_substr_clean,
     "embedding_ivf": q_embedding_ivf,  # r5: IVF-Flat ANN (third rung)
+    "c4_line_filter": q_c4_line_filter,  # r5: C4 line+page cleaning rules
+    "gopher_quality": q_gopher_quality,  # r5: Gopher doc-quality flags
 }
 
 ORACLES: dict[str, str] = {
@@ -2163,4 +2310,6 @@ ORACLES: dict[str, str] = {
     "exact_substr_stats": SQL_EXACT_SUBSTR_STATS,
     "exact_substr_clean": SQL_EXACT_SUBSTR_CLEAN,
     "embedding_ivf": SQL_EMBEDDING_IVF,
+    "c4_line_filter": SQL_C4_LINE_FILTER,
+    "gopher_quality": SQL_GOPHER_QUALITY,
 }
