@@ -55,20 +55,28 @@ def c4_line_filter(docs: DataFrame, id_col: str = "doc_id",
     decision. Every document appears in the output — filtering is the
     caller's ``WHERE page_kept = 1``.
     """
-    lines = _lines(F.col(text_col))
-    kept = F.filter(lines, _c4_line_keep)
-    n_kept = F.size(kept)
+    # Two-stage select: the kept-lines array is a non-cheap higher-order
+    # expression referenced three times downstream — materializing it as an
+    # intermediate column stops CollapseProject from inlining (and therefore
+    # re-evaluating) it per consumer. One filter pass per document.
+    staged = docs.select(
+        id_col,
+        F.col(text_col).alias("_text"),
+        _lines(F.col(text_col)).alias("_lines"),
+        F.filter(_lines(F.col(text_col)), _c4_line_keep).alias("_kept"),
+    )
+    n_kept = F.size("_kept")
     page = (
-        ~F.lower(F.col(text_col)).contains("lorem ipsum")
-        & ~F.col(text_col).contains("{")
+        ~F.lower(F.col("_text")).contains("lorem ipsum")
+        & ~F.col("_text").contains("{")
         & (n_kept >= 5)
     )
-    return docs.select(
+    return staged.select(
         id_col,
-        F.size(lines).cast("long").alias("n_lines"),
+        F.size("_lines").cast("long").alias("n_lines"),
         n_kept.cast("long").alias("n_kept"),
         page.cast("long").alias("page_kept"),
-        F.array_join(kept, "\n").alias("clean_text"),
+        F.array_join("_kept", "\n").alias("clean_text"),
     )
 
 
@@ -92,9 +100,17 @@ def gopher_quality_flags(docs: DataFrame, id_col: str = "doc_id",
       stop_ok     ≥ 2 of the 8 required stop words present as exact tokens
       gopher_pass all of the above
     """
-    text = F.col(text_col)
-    words = _words(text)
-    lines = _lines(text)
+    # Same two-stage shape as c4_line_filter: words/lines arrays are each
+    # referenced by several flag expressions — stage them once per row.
+    docs = docs.select(
+        id_col,
+        F.col(text_col).alias("_text"),
+        _words(F.col(text_col)).alias("_words"),
+        _lines(F.col(text_col)).alias("_lines"),
+    )
+    text = F.col("_text")
+    words = F.col("_words")
+    lines = F.col("_lines")
     n_words = F.size(words)
     n_word_chars = F.aggregate(
         words, F.lit(0).cast("long"), lambda a, x: a + F.length(x))

@@ -239,6 +239,27 @@ def main() -> None:
          "!ArrowEvalPython", "!BatchEvalPython"],
     ))
 
+    # 6b. quality filters: one map pass, no Exchange, no Python anywhere
+    from corpus_dedup_spark.operators.quality_filters import (
+        c4_line_filter, gopher_quality_flags)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text")
+    # higher-order lambdas are not codegen-able, so the pass is an
+    # interpreted Project; the staged `_kept`/`_words` aliases assert the
+    # arrays are materialized ONCE per row instead of re-evaluated per
+    # consumer (CollapseProject inlines only cheap expressions)
+    for name, fn, staged in (
+            ("C4 line filter", c4_line_filter, "AS _kept"),
+            ("Gopher quality flags", gopher_quality_flags, "AS _words")):
+        sections.append((
+            f"{name} (single map pass; lambda arrays staged once — "
+            "no Exchange, no Python)",
+            plan_of(fn(docs)),
+            [staged, "!Exchange", "!ArrowEvalPython",
+             "!BatchEvalPython", "!CartesianProduct"],
+        ))
+
     # 7. search line/col derivation: pure codegen expressions, no Python
     # (synthetic hits input so the plan isolates the derivation itself)
     from corpus_dedup_spark.operators.search import with_line_col
