@@ -2199,6 +2199,51 @@ FROM cnt
 """
 
 
+def q_hash_split(spark, sf_dir):
+    """Deterministic md5 train/val/test split (~80/10/10): reproducible
+    across runs, engines, and incremental appends — never rand(). The
+    bucket compares the first two hex chars of the digest against string
+    thresholds, so no engine-specific hex→int conversion exists to drift."""
+    from corpus_dedup_spark.operators.corpus_splits import hash_split
+
+    return hash_split(_docs(spark, sf_dir).select("doc_id"),
+                      key_col="doc_id", salt="r5")
+
+
+SQL_HASH_SPLIT = """
+SELECT doc_id,
+  CASE WHEN substring(md5('r5' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+         THEN 'train'
+       WHEN substring(md5('r5' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+         THEN 'val'
+       ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def q_domain_topk(spark, sf_dir):
+    """Frequency cap: keep the 10 shortest documents per source domain.
+    Skew-proof two-phase top-K (partial top-K per input task spread over
+    (partition, key) reducers, then a ≤K×tasks merge) — a hot domain never
+    lands on one reducer, unlike row_number() OVER (PARTITION BY source)."""
+    from corpus_dedup_spark.operators.corpus_splits import top_k_per_key
+
+    return top_k_per_key(
+        _docs(spark, sf_dir).select("source", "n_chars", "doc_id"),
+        key_col="source", order_col="n_chars", k=10, tiebreak_col="doc_id")
+
+
+SQL_DOMAIN_TOPK = """
+SELECT source, n_chars, doc_id, CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT source, n_chars, doc_id,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars, doc_id) AS rank
+  FROM documents)
+WHERE rank <= 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2258,6 +2303,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_ivf": q_embedding_ivf,  # r5: IVF-Flat ANN (third rung)
     "c4_line_filter": q_c4_line_filter,  # r5: C4 line+page cleaning rules
     "gopher_quality": q_gopher_quality,  # r5: Gopher doc-quality flags
+    "hash_split": q_hash_split,  # r5: deterministic train/val/test split
+    "domain_topk": q_domain_topk,  # r5: skew-proof per-domain frequency cap
 }
 
 ORACLES: dict[str, str] = {
@@ -2312,4 +2359,6 @@ ORACLES: dict[str, str] = {
     "embedding_ivf": SQL_EMBEDDING_IVF,
     "c4_line_filter": SQL_C4_LINE_FILTER,
     "gopher_quality": SQL_GOPHER_QUALITY,
+    "hash_split": SQL_HASH_SPLIT,
+    "domain_topk": SQL_DOMAIN_TOPK,
 }
