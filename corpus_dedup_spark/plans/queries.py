@@ -2199,6 +2199,85 @@ FROM cnt
 """
 
 
+_SEMDEDUP_CENTROIDS = 8
+_SEMDEDUP_TAU = 0.8
+
+
+def _semdedup_corpus(spark, sf_dir):
+    """embeddings (as doubles) + deterministic planted semantic dups: a ×2.0
+    copy of every vec_id % 7 == 0 vector (same direction — cosine exactly 1
+    up to float rounding, must be DROPPED) and a ×−1 copy of every
+    vec_id % 11 == 0 vector (opposite direction — must be KEPT). Scaling by
+    ±2/−1 is exact in IEEE doubles, so the copies land in the same/opposite
+    cells bit-for-bit on both engines. Natural pairs max out at cosine 0.51
+    on this table, far from the 0.8 threshold."""
+    emb = _embeddings(spark, sf_dir).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"))
+    planted = emb.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"))
+    anti = emb.filter(F.col("vec_id") % 11 == 0).select(
+        (F.col("vec_id") + 20000).alias("vec_id"),
+        F.transform("embedding", lambda x: -x).alias("embedding"))
+    return emb.unionByName(planted).unionByName(anti)
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): cluster embeddings into cells, drop any
+    vector whose cosine to a smaller-id cell-mate exceeds τ. The oracle
+    replays the whole decision — centroid sample, argmax cells, intra-cell
+    pair scores, keep flags — so a wrong cell or a flipped comparison on any
+    single vector fails the hash."""
+    from corpus_dedup_spark.operators.semantic_dedup import semantic_dedup
+
+    return semantic_dedup(_semdedup_corpus(spark, sf_dir),
+                          threshold=_SEMDEDUP_TAU,
+                          n_centroids=_SEMDEDUP_CENTROIDS)
+
+
+SQL_SEMANTIC_DEDUP = f"""
+WITH corpus AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000,
+         list_transform(embedding, x -> CAST(x AS DOUBLE) * 2.0)
+  FROM embeddings WHERE vec_id % 7 = 0
+  UNION ALL
+  SELECT vec_id + 20000,
+         list_transform(embedding, x -> -CAST(x AS DOUBLE))
+  FROM embeddings WHERE vec_id % 11 = 0
+),
+cent AS (
+  SELECT vec_id AS cid, emb AS cvec FROM corpus
+  ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
+  LIMIT {_SEMDEDUP_CENTROIDS}
+),
+assign AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT v.vec_id, c.cid, row_number() OVER (
+      PARTITION BY v.vec_id
+      ORDER BY {_duck_cos('v.emb', 'c.cvec')} DESC, c.cid ASC) AS rn
+    FROM corpus v CROSS JOIN cent c) t
+  WHERE rn = 1
+),
+m AS (
+  SELECT c.vec_id, a.cell, c.emb
+  FROM corpus c JOIN assign a USING (vec_id)
+),
+dropped AS (
+  SELECT DISTINCT y.vec_id
+  FROM m x JOIN m y ON x.cell = y.cell AND x.vec_id < y.vec_id
+  WHERE {_duck_cos('x.emb', 'y.emb')} > {_SEMDEDUP_TAU}
+)
+SELECT a.vec_id, a.cell,
+       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM assign a LEFT JOIN dropped d USING (vec_id)
+"""
+
+
 def q_hash_split(spark, sf_dir):
     """Deterministic md5 train/val/test split (~80/10/10): reproducible
     across runs, engines, and incremental appends — never rand(). The
@@ -2305,6 +2384,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gopher_quality": q_gopher_quality,  # r5: Gopher doc-quality flags
     "hash_split": q_hash_split,  # r5: deterministic train/val/test split
     "domain_topk": q_domain_topk,  # r5: skew-proof per-domain frequency cap
+    "semantic_dedup": q_semantic_dedup,  # r5: SemDeDup over embedding cells
 }
 
 ORACLES: dict[str, str] = {
@@ -2361,4 +2441,5 @@ ORACLES: dict[str, str] = {
     "gopher_quality": SQL_GOPHER_QUALITY,
     "hash_split": SQL_HASH_SPLIT,
     "domain_topk": SQL_DOMAIN_TOPK,
+    "semantic_dedup": SQL_SEMANTIC_DEDUP,
 }

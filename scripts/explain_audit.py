@@ -260,6 +260,20 @@ def main() -> None:
              "!BatchEvalPython", "!CartesianProduct"],
         ))
 
+    # 6c. SemDeDup: broadcast centroids, partial-combining argmax cells,
+    # intra-cell pair join only (no all-pairs), no Python
+    from corpus_dedup_spark.operators.semantic_dedup import semantic_dedup
+
+    emb2 = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding")
+    sections.append((
+        "SemDeDup semantic dedup (broadcast centroids; partial-combining "
+        "argmax cells; intra-cell pairs only — no cartesian, no Python)",
+        plan_of(semantic_dedup(emb2, threshold=0.8, n_centroids=8)),
+        ["BroadcastNestedLoopJoin", "partial_max", "!CartesianProduct",
+         "!ArrowEvalPython", "!BatchEvalPython"],
+    ))
+
     # 7. search line/col derivation: pure codegen expressions, no Python
     # (synthetic hits input so the plan isolates the derivation itself)
     from corpus_dedup_spark.operators.search import with_line_col
