@@ -2199,6 +2199,61 @@ FROM cnt
 """
 
 
+def q_bloom_incremental(spark, sf_dir):
+    """Bloom-prefiltered incremental crawl dedup: a broadcast Bloom filter of
+    the corpus keys routes definitely-new units AROUND the anti-join (no
+    false negatives), and only the maybe set — true dups + fpp of the rest —
+    pays for the exact join, which also resolves Bloom false positives. The
+    final rows are bit-identical to the plain anti-join, which is exactly
+    what the oracle computes. Corpus = docs < 300; new batch = docs ≥ 300
+    plus planted corpus copies (%9, must vanish via the filter+join) and
+    planted new copies (%23, must lose internal first-wins)."""
+    from corpus_dedup_spark.operators.bloom_dedup import \
+        bloom_incremental_dedup
+    from corpus_dedup_spark.operators.exact_dedup import (dedup_units,
+                                                          explode_units_arrow)
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") < 300)
+    rest = docs.filter(F.col("doc_id") >= 300)
+    new = (
+        rest
+        .unionByName(corpus.filter(F.col("doc_id") % 9 == 0).select(
+            (F.col("doc_id") + 4_000_000).alias("doc_id"), "text"))
+        .unionByName(rest.filter(F.col("doc_id") % 23 == 0).select(
+            (F.col("doc_id") + 5_000_000).alias("doc_id"), "text"))
+    )
+    corpus_units = dedup_units(
+        explode_units_arrow(corpus, id_col="doc_id"), id_col="doc_id"
+    ).select("norm_unit")
+    _kept, deduped = bloom_incremental_dedup(
+        new, corpus_units, n_items=4096, fpp=0.01, id_col="doc_id")
+    return deduped.select("doc_id", "dedup_text", "n_units")
+
+
+SQL_BLOOM_INCREMENTAL = """
+WITH corpus AS (SELECT text FROM documents WHERE doc_id < 300),
+new AS (
+  SELECT doc_id, text FROM documents WHERE doc_id >= 300
+  UNION ALL
+  SELECT doc_id + 4000000 AS doc_id, text FROM documents
+  WHERE doc_id < 300 AND doc_id % 9 = 0
+  UNION ALL
+  SELECT doc_id + 5000000 AS doc_id, text FROM documents
+  WHERE doc_id >= 300 AND doc_id % 23 = 0
+),
+fresh AS (
+  SELECT doc_id, text FROM new
+  WHERE text NOT IN (SELECT text FROM corpus)
+)
+SELECT doc_id, text AS dedup_text, CAST(1 AS BIGINT) AS n_units
+FROM (SELECT doc_id, text,
+             row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      FROM fresh) t
+WHERE rn = 1
+"""
+
+
 _SEMDEDUP_CENTROIDS = 8
 _SEMDEDUP_TAU = 0.8
 
@@ -2385,6 +2440,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hash_split": q_hash_split,  # r5: deterministic train/val/test split
     "domain_topk": q_domain_topk,  # r5: skew-proof per-domain frequency cap
     "semantic_dedup": q_semantic_dedup,  # r5: SemDeDup over embedding cells
+    "bloom_incremental": q_bloom_incremental,  # r5: Bloom-bypass incr dedup
 }
 
 ORACLES: dict[str, str] = {
@@ -2442,4 +2498,5 @@ ORACLES: dict[str, str] = {
     "hash_split": SQL_HASH_SPLIT,
     "domain_topk": SQL_DOMAIN_TOPK,
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
+    "bloom_incremental": SQL_BLOOM_INCREMENTAL,
 }

@@ -274,6 +274,38 @@ def main() -> None:
          "!ArrowEvalPython", "!BatchEvalPython"],
     ))
 
+    # 6d. Bloom-prefiltered incremental dedup: definitely-new units reach
+    # the union through a plain filter (no join on that branch); exactly one
+    # left-anti join (the maybe branch); Python only in the Arrow probe
+    from corpus_dedup_spark.operators.bloom_dedup import \
+        bloom_incremental_dedup
+    from corpus_dedup_spark.operators.exact_dedup import (dedup_units,
+                                                          explode_units_arrow)
+
+    bdocs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text")
+    bcorpus = bdocs.filter("doc_id < 30")
+    bcu = dedup_units(explode_units_arrow(bcorpus, id_col="doc_id"),
+                      id_col="doc_id").select("norm_unit")
+    _bk, bdd = bloom_incremental_dedup(bdocs.filter("doc_id >= 30"), bcu,
+                                       n_items=4096, id_col="doc_id")
+    bplan = plan_of(bdd)
+    sections.append((
+        "Bloom-prefiltered incremental dedup (broadcast-bitmap Arrow probe; "
+        "definitely-new units bypass the anti-join; one LeftAnti for the "
+        "maybe branch)",
+        bplan,
+        ["MapInArrow", "LeftAnti", "Union", "!CartesianProduct",
+         "!BatchEvalPython"],
+    ))
+    # formatted explain names each join once in the tree and once in the
+    # detail block — count the detail lines ("Join type: LeftAnti")
+    n_anti = bplan.count("Join type: LeftAnti")
+    if n_anti != 1:
+        print(f"AUDIT FAILURE: expected exactly one LeftAnti join in bloom "
+              f"plan, found {n_anti}")
+        sys.exit(1)
+
     # 7. search line/col derivation: pure codegen expressions, no Python
     # (synthetic hits input so the plan isolates the derivation itself)
     from corpus_dedup_spark.operators.search import with_line_col
