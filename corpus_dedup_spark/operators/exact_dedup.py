@@ -223,7 +223,8 @@ def dedup_keepers_combined(pages: DataFrame, mode: str = "sentence",
     collapsed by the intra-partition duplication factor."""
     partials = keeper_partials_arrow(pages, mode, max_length, text_col, id_col)
     return (
-        partials.groupBy("_h", "norm_unit")
+        partials.withColumn("_l", F.octet_length("norm_unit"))
+        .groupBy("_h", "_l", "norm_unit")
         .agg(
             F.min(F.struct(F.col(id_col), F.col("unit_idx"))).alias("_keeper"),
             F.sum("n_occ").alias("n_occ"),
@@ -272,10 +273,17 @@ def dedup_keepers(units: DataFrame, id_col: str = "url") -> DataFrame:
     the bytes only for true duplicates; grouping stays keyed on the full bytes
     (quirk Q6 — the hash is a comparator accelerator, never the identity).
     Measured 24% off the agg stage at 50k docs / 8 cores, bit-identical rows.
+    r5: ``octet_length`` sits between the hash and the bytes — a second fixed-
+    width comparator rung (resolves residual 64-bit collisions and gives the
+    ties a cheap header compare before the variable-length bytes). Redundant
+    for grouping (norm_unit determines its length), free to compute, and
+    measured weakly positive (~2-5% at 200k docs / 8 cores under storm —
+    scripts/exp_exact_conf.py 'lenkey'); rows stay bit-identical.
     """
     return (
         units.withColumn("_h", F.xxhash64("norm_unit"))
-        .groupBy("_h", "norm_unit")
+        .withColumn("_l", F.octet_length("norm_unit"))
+        .groupBy("_h", "_l", "norm_unit")
         .agg(
             F.min(F.struct(F.col(id_col), F.col("unit_idx"))).alias("_keeper"),
             F.count("*").alias("n_occ"),

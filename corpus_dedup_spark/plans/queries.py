@@ -2379,6 +2379,181 @@ WHERE rank <= 10
 
 
 # ---------------------------------------------------------------------------
+# r5 — sequence packing, as-of join, corpus-LM quality, top-k terms
+# ---------------------------------------------------------------------------
+
+PACK_SEQ_LEN = 256  # training-window length for the packing queries
+
+
+def q_sequence_pack(spark, sf_dir):
+    """Sequence packing (operators/packing.py): every document's global token
+    interval under ORDER BY doc_id concatenation and the fixed-length
+    training sequences it overlaps. The engine computes the global offset as
+    a DISTRIBUTED prefix sum (range partition → per-partition cumsum →
+    broadcast per-partition bases) — never the single-task global window the
+    oracle is allowed to use at sf0.01. Integer-exact by construction."""
+    from corpus_dedup_spark.operators.packing import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), seq_len=PACK_SEQ_LEN)
+
+
+SQL_SEQUENCE_PACK = f"""
+WITH c AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[^ \t\n\r]+')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+), o AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS tok_start
+  FROM c
+)
+SELECT doc_id, n_tokens, tok_start,
+       CASE WHEN n_tokens > 0 THEN tok_start // {PACK_SEQ_LEN} END AS seq_first,
+       CASE WHEN n_tokens > 0
+            THEN (tok_start + n_tokens - 1) // {PACK_SEQ_LEN} END AS seq_last
+FROM o
+"""
+
+
+def q_packed_seq_stats(spark, sf_dir):
+    """Per-training-sequence occupancy from the packing map: how many docs
+    touch each window and how many of its token slots are filled (the last
+    sequence is a partial fill; every other must sum to seq_len — a
+    structural invariant the value hash enforces across every row)."""
+    from corpus_dedup_spark.operators.packing import (pack_sequences,
+                                                      sequence_stats)
+
+    packed = pack_sequences(_docs(spark, sf_dir), seq_len=PACK_SEQ_LEN)
+    return sequence_stats(packed, seq_len=PACK_SEQ_LEN)
+
+
+SQL_PACKED_SEQ_STATS = f"""
+WITH c AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[^ \t\n\r]+')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+), o AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS tok_start
+  FROM c
+), e AS (
+  SELECT doc_id, tok_start, n_tokens,
+         unnest(generate_series(tok_start // {PACK_SEQ_LEN},
+                                (tok_start + n_tokens - 1) // {PACK_SEQ_LEN}))
+           AS seq_id
+  FROM o WHERE n_tokens > 0
+)
+SELECT seq_id, count(*) AS n_docs,
+       CAST(sum(least(tok_start + n_tokens, (seq_id + 1) * {PACK_SEQ_LEN})
+                - greatest(tok_start, seq_id * {PACK_SEQ_LEN})) AS BIGINT)
+         AS n_tokens
+FROM e GROUP BY seq_id
+"""
+
+
+def q_asof_purchase(spark, sf_dir):
+    """As-of join (operators/asof.py): for every event, the most recent
+    STRICTLY earlier 'purchase' by the same user. The engine runs the
+    union-tag sweep (one keyed window, no per-key cross product); the oracle
+    is the textbook inequality-join + row_number formulation, which is
+    plainly portable SQL and affordable at sf0.01 — two very different plans
+    that must agree row-for-row, including the strict-< tie rule."""
+    from corpus_dedup_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    out = asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        purchases.select("user_id", "ts", "event_id", "value"),
+        key_col="user_id", ts_col="ts",
+        left_id_col="event_id", right_id_col="event_id",
+        right_payload_cols=("value",),
+    )
+    return out.select("event_id", "user_id", "ts",
+                      "asof_event_id", "asof_ts", "asof_value")
+
+
+SQL_ASOF_PURCHASE = """
+WITH p AS (
+  SELECT user_id, ts, event_id, value FROM events
+  WHERE event_type = 'purchase'
+), pairs AS (
+  SELECT e.event_id, p.event_id AS p_id, p.ts AS p_ts, p.value AS p_value,
+         row_number() OVER (PARTITION BY e.event_id
+                            ORDER BY p.ts DESC, p.event_id DESC) AS rn
+  FROM events e JOIN p
+    ON e.user_id = p.user_id AND p.ts < e.ts
+)
+SELECT e.event_id, e.user_id, e.ts,
+       pr.p_id AS asof_event_id, pr.p_ts AS asof_ts, pr.p_value AS asof_value
+FROM events e LEFT JOIN (SELECT * FROM pairs WHERE rn = 1) pr
+  USING (event_id)
+"""
+
+
+def q_unigram_lm(spark, sf_dir):
+    """CCNet-style corpus-LM quality score, engine-exact (operators/
+    lm_quality.py): per-doc sum of floor(log2(corpus unigram count)) plus
+    token count — the integer skeleton of mean log-probability (see module
+    docstring for why floats cannot be oracled). Vocabulary built with one
+    map-side-combining agg, joined back broadcast-sized."""
+    from corpus_dedup_spark.operators.lm_quality import unigram_lm_scores
+
+    return unigram_lm_scores(_docs(spark, sf_dir))
+
+
+SQL_UNIGRAM_LM = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+  FROM documents
+), vocab AS (
+  SELECT token, CAST(floor(log2(count(*))) AS BIGINT) AS freq_class
+  FROM toks GROUP BY token
+)
+SELECT doc_id, count(*) AS n_tokens,
+       CAST(sum(COALESCE(freq_class, 0)) AS BIGINT) AS sum_freq_class
+FROM toks LEFT JOIN vocab USING (token)
+GROUP BY doc_id
+"""
+
+
+def q_topk_terms(spark, sf_dir):
+    """Top-3 distinguishing terms per document ranked by the integer pair
+    (tf DESC, df ASC, term ASC) — the exactly-reproducible skeleton of
+    TF-IDF (IDF is monotone-decreasing in df, so for fixed tf the order is
+    the TF-IDF order). operators/lm_quality.py:top_terms_per_doc."""
+    from corpus_dedup_spark.operators.lm_quality import top_terms_per_doc
+
+    return top_terms_per_doc(_docs(spark, sf_dir), k=3)
+
+
+SQL_TOPK_TERMS = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+  FROM documents
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token
+), df AS (
+  SELECT token, count(*) AS df FROM tf GROUP BY token
+), ranked AS (
+  SELECT doc_id, token AS term, tf.tf AS tf, df.df AS df,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tf.tf DESC, df.df ASC, token ASC) AS rank
+  FROM tf JOIN df USING (token)
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -2441,6 +2616,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_topk": q_domain_topk,  # r5: skew-proof per-domain frequency cap
     "semantic_dedup": q_semantic_dedup,  # r5: SemDeDup over embedding cells
     "bloom_incremental": q_bloom_incremental,  # r5: Bloom-bypass incr dedup
+    "sequence_pack": q_sequence_pack,  # r5: LLM training-window packing
+    "packed_seq_stats": q_packed_seq_stats,  # r5: per-sequence occupancy
+    "asof_purchase": q_asof_purchase,  # r5: as-of join (union-tag sweep)
+    "unigram_lm": q_unigram_lm,  # r5: CCNet-style corpus-LM quality score
+    "topk_terms": q_topk_terms,  # r5: integer-exact TF-IDF skeleton
 }
 
 ORACLES: dict[str, str] = {
@@ -2499,4 +2679,9 @@ ORACLES: dict[str, str] = {
     "domain_topk": SQL_DOMAIN_TOPK,
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "bloom_incremental": SQL_BLOOM_INCREMENTAL,
+    "sequence_pack": SQL_SEQUENCE_PACK,
+    "packed_seq_stats": SQL_PACKED_SEQ_STATS,
+    "asof_purchase": SQL_ASOF_PURCHASE,
+    "unigram_lm": SQL_UNIGRAM_LM,
+    "topk_terms": SQL_TOPK_TERMS,
 }

@@ -27,6 +27,11 @@ VARIANT_CONF = {
                "spark.shuffle.spill.compress": "false"},
     "lenkey": {},   # keeper agg groups on (_h, octet_length, norm_unit)
     "lz4fast": {"spark.io.compression.lz4.blockSize": "512k"},
+    # combinations — the codec lever (transport) and the lenkey lever
+    # (comparator) act on different stages, so they may stack
+    "zstd_lenkey": {"spark.io.compression.codec": "zstd"},
+    "nocomp_lenkey": {"spark.shuffle.compress": "false",
+                      "spark.shuffle.spill.compress": "false"},
 }
 
 
@@ -56,7 +61,7 @@ def worker(variant: str, cores: int, n_docs: int, repeats: int) -> None:
     from corpus_dedup_spark.operators import exact_dedup
     from corpus_dedup_spark.plans.session import build_session
 
-    if variant == "lenkey":
+    if variant.endswith("lenkey"):
         exact_dedup.dedup_keepers = _dedup_keepers_lenkey
 
     parts = max(cores, 8, min(3 * cores, n_docs // 8000))

@@ -306,6 +306,51 @@ def main() -> None:
               f"plan, found {n_anti}")
         sys.exit(1)
 
+    # 6e. Sequence packing: the global token offset must be a DISTRIBUTED
+    # prefix sum — a range-partition Exchange and a per-partition window,
+    # with the per-partition bases coming back via broadcast join. The
+    # classic failure (sum() OVER (ORDER BY) with no PARTITION BY → a
+    # SinglePartition exchange) is asserted ABSENT.
+    from corpus_dedup_spark.operators.packing import pack_sequences
+
+    sections.append((
+        "Sequence packing (distributed prefix sum: range partition + "
+        "per-partition window + broadcast bases — never SinglePartition)",
+        plan_of(pack_sequences(docs, seq_len=256)),
+        ["rangepartitioning", "BroadcastHashJoin", "!SinglePartition",
+         "!ArrowEvalPython", "!BatchEvalPython", "!CartesianProduct"],
+    ))
+
+    # 6f. As-of join: union-tag sweep — ONE keyed window over the union,
+    # no range/cross join anywhere
+    from corpus_dedup_spark.operators.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    aj = asof_join(ev.select("event_id", "user_id", "ts"),
+                   ev.filter("event_type = 'purchase'")
+                     .select("user_id", "ts", "event_id", "value"),
+                   key_col="user_id", ts_col="ts", left_id_col="event_id",
+                   right_id_col="event_id", right_payload_cols=("value",))
+    sections.append((
+        "As-of join (union-tag sweep: one window keyed on user_id; "
+        "no cross/range join, no Python)",
+        plan_of(aj),
+        ["Union", "hashpartitioning(user_id", "Window",
+         "!CartesianProduct", "!BroadcastNestedLoopJoin",
+         "!ArrowEvalPython", "!BatchEvalPython"],
+    ))
+
+    # 6g. Corpus-LM score: vocabulary agg partial-combines before its
+    # exchange; the whole operator is JVM-side
+    from corpus_dedup_spark.operators.lm_quality import unigram_lm_scores
+
+    sections.append((
+        "Unigram-LM quality score (vocab agg partial-combines; zero Python)",
+        plan_of(unigram_lm_scores(docs)),
+        ["partial_count", "!ArrowEvalPython", "!BatchEvalPython",
+         "!CartesianProduct"],
+    ))
+
     # 7. search line/col derivation: pure codegen expressions, no Python
     # (synthetic hits input so the plan isolates the derivation itself)
     from corpus_dedup_spark.operators.search import with_line_col
