@@ -35,6 +35,38 @@ VARIANT_CONF = {
 }
 
 
+def _dedup_keepers_binkey(units, id_col="url"):
+    """Keeper agg with the (id, unit_idx) pair packed into ONE binary value —
+    order-preserving encoding utf8(id) || 0x00 || big-endian-u64(unit_idx)
+    (unsigned-lex binary order == struct order; urls contain no NUL).
+
+    MEASURED NEGATIVE (r5): the hope was HashAggregate, but Spark's
+    HashAggregateExec requires every agg BUFFER field to be a fixed-width
+    mutable UnsafeRow type; a min(binary) buffer is variable-length, so the
+    planner still emits SortAggregate (verified on the executed plan) and the
+    packing only adds concat/unhex work per row. Rows verified bit-identical
+    to mainline; kept as documentation of the dead end."""
+    from pyspark.sql import functions as F
+    packed = F.expr(
+        f"concat(encode({id_col}, 'UTF-8'), X'00', "
+        "unhex(lpad(hex(unit_idx), 16, '0')))")
+    agg = (
+        units.withColumn("_h", F.xxhash64("norm_unit"))
+        .withColumn("_l", F.octet_length("norm_unit"))
+        .groupBy("_h", "_l", "norm_unit")
+        .agg(F.min(packed).alias("_k"), F.count("*").alias("n_occ"))
+    )
+    klen = F.octet_length("_k")
+    return agg.select(
+        "norm_unit",
+        F.decode(F.expr("substring(_k, 1, octet_length(_k) - 9)"),
+                 "UTF-8").alias(id_col),
+        F.expr("cast(conv(hex(substring(_k, -8, 8)), 16, 10) as bigint)")
+         .alias("unit_idx"),
+        "n_occ",
+    )
+
+
 def _dedup_keepers_lenkey(units, id_col="url"):
     from pyspark.sql import functions as F
     return (
@@ -63,6 +95,8 @@ def worker(variant: str, cores: int, n_docs: int, repeats: int) -> None:
 
     if variant.endswith("lenkey"):
         exact_dedup.dedup_keepers = _dedup_keepers_lenkey
+    elif variant.endswith("binkey"):
+        exact_dedup.dedup_keepers = _dedup_keepers_binkey
 
     parts = max(cores, 8, min(3 * cores, n_docs // 8000))
     spark = build_session(app_name=f"exp_conf_{variant}",
