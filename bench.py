@@ -243,7 +243,9 @@ def main() -> None:
         q_names = ("token_jaccard_pairs", "cc_bucket_clusters",
                    "substring_search", "embedding_top1", "event_hourly",
                    "sentence_dedup_pages", "boilerplate_bigrams",
-                   "url_canonical", "exact_substr_spans")
+                   "url_canonical", "exact_substr_spans",
+                   # r5 training-prep family
+                   "sequence_pack", "asof_purchase", "unigram_lm")
 
         # indexed search: the index is built ONCE per window size (the production
         # shape — src/search_mode.c builds its tables once per session); probes are
