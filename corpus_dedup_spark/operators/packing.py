@@ -61,7 +61,11 @@ def global_token_offsets(docs: DataFrame, id_col: str = "doc_id",
                          num_partitions: int | None = None) -> DataFrame:
     """(id, n_tokens, tok_start): exclusive prefix sum of token counts in
     ``ORDER BY id_col`` — computed as a distributed prefix sum (see module
-    docstring), never as a single global window."""
+    docstring), never as a single global window.
+
+    Precondition: ``id_col`` is unique (it is the concatenation order). With
+    duplicate ids the order among the duplicates — and therefore their
+    offsets — would be partition-placement-dependent."""
     counts = with_token_counts(docs, text_col).select(id_col, "n_tokens")
     spark = counts.sparkSession
     if num_partitions is None:
