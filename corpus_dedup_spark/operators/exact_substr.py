@@ -68,22 +68,50 @@ def duplicate_substring_spans(
     half-open [span_start, span_end) codepoint offsets; every span has
     span_len ≥ window by construction.
 
-    ``hash_prefilter`` (default on) is the 100 TB lever: the first shuffle
-    carries only 8-byte hashes, and window *text* is shuffled only for
-    positions whose hash repeats. Turn it off for tiny inputs to skip the
-    extra stage.
+    ``hash_prefilter`` (default on) is the 100 TB lever: per-position hashes
+    come from the O(n) vectorized rolling-hash kernel (the same
+    ``build_fingerprint_index`` pass the search mode persists — ref
+    src/search_mode.c:98-149), so window *text* is never materialized for a
+    position whose hash is unique: the JVM explode would copy O(n·W) window
+    bytes per document just to hash them (and the hot-join replay paid it
+    twice — measured 4.0 s at sf0.1/32c vs 1.3 s for the same-shape search
+    index build). The first shuffle carries only 8-byte hashes; text is cut
+    by ``substring`` only for hash-survivor positions, via one join against
+    the docs table. Turn the prefilter off for tiny inputs to skip the extra
+    stage (the fallback is the direct JVM window explode).
     """
-    wins = _windows(docs, window, id_col, text_col).withColumn(
-        "_h", F.xxhash64("win")
-    )
     if hash_prefilter:
+        from corpus_dedup_spark.operators.search import build_fingerprint_index
+
+        # persisted: ph feeds BOTH the hot-hash agg and the survivor join —
+        # without the persist the kernel pass would run twice (same
+        # precedent as minhash_lsh.near_dup_edges' features persist)
+        ph = (
+            build_fingerprint_index(docs.select(id_col, text_col),
+                                    window=window, id_col=id_col,
+                                    text_col=text_col, squash=False)
+            .withColumnRenamed("whash", "_h")
+            .persist()
+        )
         hot = (
-            wins.groupBy("_h")
+            ph.groupBy("_h")
             .agg(F.count("*").alias("_c"))
             .filter(F.col("_c") > 1)
             .select("_h")
         )
-        wins = wins.join(hot, "_h")
+        wins = (
+            ph.join(hot, "_h")
+            .join(docs.select(id_col, text_col), id_col)
+            .select(
+                id_col, "pos", "_h",
+                F.expr(f"substring({text_col}, pos + 1, {int(window)})")
+                 .alias("win"),
+            )
+        )
+    else:
+        wins = _windows(docs, window, id_col, text_col).withColumn(
+            "_h", F.xxhash64("win")
+        )
     dup_pos = (
         wins.withColumn("_c", F.count("*").over(Window.partitionBy("_h", "win")))
         .filter(F.col("_c") > 1)

@@ -1853,9 +1853,12 @@ def q_exact_substr_spans(spark, sf_dir):
     the character."""
     from corpus_dedup_spark.operators.exact_substr import duplicate_substring_spans
 
-    return duplicate_substring_spans(
-        _docs_spliced(spark, sf_dir), window=_ES_W, id_col="doc_id"
-    )
+    # fan out: the testdata documents table is 1-2 parquet splits, which
+    # starves the O(n) kernel pass at high core counts — a production table's
+    # splits already match the cluster, so this is input-layout repair
+    docs = _docs_spliced(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism)
+    return duplicate_substring_spans(docs, window=_ES_W, id_col="doc_id")
 
 
 SQL_EXACT_SUBSTR_CORE = f"""

@@ -196,27 +196,33 @@ def main() -> None:
            else ["__EXACTLY_ONE_EXCHANGE__"]),
     ))
 
-    # 6d. ExactSubstr duplicated spans: window explode is whole-stage codegen
-    # (no Python anywhere); the prefilter aggregation shuffles ONLY the 8-byte
-    # xxhash64 (column pruning drops the window text before the exchange), and
-    # window text crosses the wire only for hash-survivors; the island merge is
-    # a per-doc window over duplicated positions alone.
+    # 6d. ExactSubstr duplicated spans: per-position hashes come from the
+    # O(n) rolling-hash kernel (ONE ArrowEvalPython — the same pass the
+    # search index persists), so no window text is materialized for unique
+    # positions; the prefilter aggregation shuffles ONLY the 8-byte hash, and
+    # window text is cut by substring solely for hash-survivors (the
+    # `substring(text, pos` projection after the survivor join); the island
+    # merge is a per-doc window over duplicated positions alone.
     from corpus_dedup_spark.operators.exact_substr import \
         duplicate_substring_spans
 
     es = duplicate_substring_spans(
         pages.selectExpr("url AS doc_id", "text"), window=40)
     es_plan = plan_of(es)
-    # the hot-hash exchange must not carry the window text: the aggregate
-    # feeding hashpartitioning(_h) prunes to the hash column only
+    # the hot-hash exchange must not carry any text: the aggregate feeding
+    # hashpartitioning(_h) prunes to the hash column only
     hot_agg = re.search(
         r"\(\d+\) HashAggregate[^\n]*\nInput \[1\]: \[_h#\d+L\]", es_plan)
     sections.append((
-        "ExactSubstr duplicate spans (codegen window explode; hash-only "
-        "prefilter exchange; island merge windows only duplicated positions)",
+        "ExactSubstr duplicate spans (O(n) rolling-hash kernel, computed "
+        "once and persisted for both consumers; hash-only prefilter "
+        "exchange; window text cut only for survivors; island merge windows "
+        "only duplicated positions)",
         es_plan,
-        ["xxhash64", "hashpartitioning(_h",
-         "!ArrowEvalPython", "!BatchEvalPython", "!MapInPandas"]
+        # InMemoryTableScan = the persisted kernel pass is REUSED by the
+        # hot-hash agg and the survivor join instead of re-running
+        ["ArrowEvalPython", "InMemoryTableScan", "hashpartitioning(_h",
+         "substring(text", "!BatchEvalPython", "!CartesianProduct"]
         + (["!__HOT_AGG_CARRIES_TEXT__"] if hot_agg
            else ["__HOT_AGG_INPUT_IS_HASH_ONLY__"]),
     ))
