@@ -51,7 +51,10 @@ def asof_join(
         F.col(right_id_col).alias("_id"),
         *[F.col(c).alias(f"_p_{c}") for c in right_payload_cols],
     )
-    r = right.select(
+    # NULL-ts right rows can never satisfy r.ts < l.ts (SQL three-valued
+    # logic), but under the window's ascending order they would sort FIRST
+    # with a non-null carry struct and match everything — drop them up front
+    r = right.filter(F.col(ts_col).isNotNull()).select(
         F.col(key_col), F.col(ts_col), F.lit(1).alias("_tag"),
         F.col(right_id_col).alias("_ord_id"), carried.alias("_carry"),
     )

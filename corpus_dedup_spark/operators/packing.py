@@ -40,10 +40,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-# Whitespace token grain: runs of non-space. A regexp_count-style grain (count
-# matches of \S+) rather than split() so empty/whitespace-only docs count 0
-# without the '' artifact split() produces on both engines.
-_TOKEN_RE = r"[^ \t\n\r]+"
+# Whitespace token grain: runs of non-whitespace, with the SAME class as Java
+# \s ([ \t\n\x0B\f\r]) so this agrees with the repo's other token counters
+# (functions/text.py n_tokens_ws, quality_filters._ws_tokens) — spelled as
+# literal control characters because RE2 (the DuckDB oracle's engine) and
+# Java regex must read the identical class. A regexp_count-style grain (count
+# matches) rather than split() so empty/whitespace-only docs count 0 without
+# the '' artifact split() produces on both engines.
+_TOKEN_RE = "[^ \t\n\x0b\f\r]+"
 
 
 def with_token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -76,8 +80,16 @@ def global_token_offsets(docs: DataFrame, id_col: str = "doc_id",
     )
     w = (Window.partitionBy("_pid").orderBy(id_col)
          .rowsBetween(Window.unboundedPreceding, -1))
-    local = ranged.withColumn("_local_start",
-                              F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    # persisted: `local` feeds the subtotal collect AND the output join. An
+    # unpersisted plan would execute the range shuffle twice, and
+    # RangePartitioner's sample seed varies per execution (byteswap32 of the
+    # rdd id) — on inputs big enough that sampling is not exhaustive the two
+    # executions could draw DIFFERENT range boundaries, pairing partition
+    # bases with the wrong rows. One materialization makes the partitioning,
+    # whatever it sampled, the single source of truth for both consumers.
+    local = ranged.withColumn(
+        "_local_start",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0))).persist()
     # One row per partition; prefix-sum on the driver (metadata-sized).
     subtotal_rows = (
         local.groupBy("_pid")
@@ -107,12 +119,17 @@ def pack_sequences(docs: DataFrame, seq_len: int, id_col: str = "doc_id",
     NULL) rather than being dropped — the caller decides their fate."""
     offs = global_token_offsets(docs, id_col, text_col)
     nonblank = F.col("n_tokens") > 0
+    # integer DIV, not floor(double /): past 2^53 cumulative tokens a double
+    # quotient can round across the floor and shift a doc into the wrong
+    # sequence — DIV stays exact at any BIGINT magnitude (the oracle's `//`)
+    seq_len = int(seq_len)
     return offs.select(
         id_col, "n_tokens", "tok_start",
-        F.when(nonblank, F.floor(F.col("tok_start") / seq_len))
+        F.when(nonblank, F.expr(f"tok_start DIV {seq_len}"))
          .cast("bigint").alias("seq_first"),
-        F.when(nonblank, F.floor((F.col("tok_start") + F.col("n_tokens") - 1)
-                                 / seq_len)).cast("bigint").alias("seq_last"),
+        F.when(nonblank,
+               F.expr(f"(tok_start + n_tokens - 1) DIV {seq_len}"))
+         .cast("bigint").alias("seq_last"),
     )
 
 

@@ -2403,7 +2403,7 @@ def q_sequence_pack(spark, sf_dir):
 SQL_SEQUENCE_PACK = f"""
 WITH c AS (
   SELECT doc_id,
-         CAST(len(regexp_extract_all(text, '[^ \t\n\r]+')) AS BIGINT)
+         CAST(len(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+')) AS BIGINT)
            AS n_tokens
   FROM documents
 ), o AS (
@@ -2436,7 +2436,7 @@ def q_packed_seq_stats(spark, sf_dir):
 SQL_PACKED_SEQ_STATS = f"""
 WITH c AS (
   SELECT doc_id,
-         CAST(len(regexp_extract_all(text, '[^ \t\n\r]+')) AS BIGINT)
+         CAST(len(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+')) AS BIGINT)
            AS n_tokens
   FROM documents
 ), o AS (

@@ -21,12 +21,17 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 VARIANT_CONF = {
-    "base": {},
+    # session.py now defaults to zstd (landed from this experiment's round-1
+    # results) — 'base' and 'lz4fast' pin the codec back to lz4 explicitly so
+    # the pre-landing baseline stays reproducible
+    "base": {"spark.io.compression.codec": "lz4"},
     "zstd": {"spark.io.compression.codec": "zstd"},
     "nocomp": {"spark.shuffle.compress": "false",
                "spark.shuffle.spill.compress": "false"},
-    "lenkey": {},   # keeper agg groups on (_h, octet_length, norm_unit)
-    "lz4fast": {"spark.io.compression.lz4.blockSize": "512k"},
+    "lenkey": {"spark.io.compression.codec": "lz4"},  # keeper agg key A/B at
+    #                                                   the lz4 baseline
+    "lz4fast": {"spark.io.compression.codec": "lz4",
+                "spark.io.compression.lz4.blockSize": "512k"},
     # combinations — the codec lever (transport) and the lenkey lever
     # (comparator) act on different stages, so they may stack
     "zstd_lenkey": {"spark.io.compression.codec": "zstd"},
