@@ -75,10 +75,17 @@ def _driver_union_find(edge_rows: list, spark, id_type) -> DataFrame:
             if rb < ra:
                 ra, rb = rb, ra
             parent[rb] = ra
-    labels = [(n, find(n)) for n in parent]
     schema = StructType([StructField("node", id_type, False),
                          StructField("cluster_id", id_type, False)])
-    return spark.createDataFrame(labels, schema=schema)
+    # ship labels back through ONE Arrow batch (pandas → createDataFrame uses
+    # the Arrow path under the session's arrow.pyspark.enabled): row-by-row
+    # pickling of a list of tuples was the driver path's dominant cost at
+    # ~10^5 labels, bigger than the union-find itself
+    import pandas as pd
+
+    nodes = list(parent)
+    pdf = pd.DataFrame({"node": nodes, "cluster_id": [find(n) for n in nodes]})
+    return spark.createDataFrame(pdf, schema=schema)
 
 
 # Below this edge count the component graph is collected and solved with a driver
