@@ -32,6 +32,9 @@ VARIANT_CONF = {
     #                                                   the lz4 baseline
     "lz4fast": {"spark.io.compression.codec": "lz4",
                 "spark.io.compression.lz4.blockSize": "512k"},
+    # Arrow batch sizing for the extraction UDF (session default 100k rows)
+    "arrow50k": {"spark.sql.execution.arrow.maxRecordsPerBatch": "50000"},
+    "arrow200k": {"spark.sql.execution.arrow.maxRecordsPerBatch": "200000"},
     # combinations — the codec lever (transport) and the lenkey lever
     # (comparator) act on different stages, so they may stack
     "zstd_lenkey": {"spark.io.compression.codec": "zstd"},
