@@ -41,7 +41,8 @@ def run_reference(binary: str, corpus: str, threads: int) -> float:
     return time.time() - t0
 
 
-def engine_worker(threads: int, n_docs: int, repeats: int) -> None:
+def engine_worker(threads: int, n_docs: int, repeats: int,
+                  write_output: bool = False) -> None:
     from bench import ensure_pages_cache
     from corpus_dedup_spark.operators.exact_dedup import \
         run_exact_dedup_observed
@@ -52,6 +53,7 @@ def engine_worker(threads: int, n_docs: int, repeats: int) -> None:
     spark = build_session(app_name="h2h", master=f"local[{threads}]",
                           shuffle_partitions=parts)
     spark.sparkContext.setLogLevel("ERROR")
+    out_dir = os.path.join(WORK, "engine_out_h2h")
     pages = spark.read.parquet(pages_path).repartition(parts).cache()
     pages.count()
     d, o = run_exact_dedup_observed(pages.limit(4000))
@@ -62,7 +64,13 @@ def engine_worker(threads: int, n_docs: int, repeats: int) -> None:
         p = pages.cache(); p.count()
         t0 = time.time()
         deduped, obs = run_exact_dedup_observed(p)
-        deduped.count(); _ = obs.get
+        if write_output:
+            # the reference's wall always includes writing its output files;
+            # this leg writes the deduped table to the SAME tmpfs
+            deduped.write.mode("overwrite").parquet(out_dir)
+        else:
+            deduped.count()
+        _ = obs.get
         best = min(best, time.time() - t0)
     print(json.dumps({"engine_wall": round(best, 3)}))
     spark.stop()
@@ -75,9 +83,14 @@ def main() -> None:
     ap.add_argument("--n-docs", type=int, default=200000)
     ap.add_argument("--engine-repeats", type=int, default=2)
     ap.add_argument("--engine-worker", action="store_true")
+    ap.add_argument("--engine-write", action="store_true",
+                    help="engine leg writes its deduped output to tmpfs "
+                         "(apples-to-apples with the reference's wall, which "
+                         "always includes writing its output files)")
     args = ap.parse_args()
     if args.engine_worker:
-        engine_worker(args.threads, args.n_docs, args.engine_repeats)
+        engine_worker(args.threads, args.n_docs, args.engine_repeats,
+                      write_output=args.engine_write)
         return
 
     binary = os.path.join(WORK, "corpus_dedup_c")
@@ -101,7 +114,8 @@ def main() -> None:
                     [sys.executable, os.path.abspath(__file__),
                      "--engine-worker", "--threads", str(args.threads),
                      "--n-docs", str(args.n_docs),
-                     "--engine-repeats", str(args.engine_repeats)],
+                     "--engine-repeats", str(args.engine_repeats)]
+                    + (["--engine-write"] if args.engine_write else []),
                     capture_output=True, text=True, cwd=REPO, check=True)
                 line = [ln for ln in out.stdout.splitlines()
                         if ln.startswith("{")][-1]
@@ -113,6 +127,7 @@ def main() -> None:
         print(json.dumps(pairs[-1]))
     print(json.dumps({
         "threads": args.threads, "n_docs": args.n_docs,
+        "engine_write": args.engine_write,
         "median_paired_ratio": round(statistics.median(
             p["ratio_ref_over_engine"] for p in pairs), 3),
         "best_ref": min(p["ref_wall"] for p in pairs),
