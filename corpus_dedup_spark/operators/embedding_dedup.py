@@ -32,18 +32,121 @@ def brute_force_topk(vectors: DataFrame, probes: DataFrame, k: int = 10,
                      id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """(probe_id, neighbor_id, cosine, rank): exact top-k by cosine.
 
-    probes is expected small → broadcast; the scan side stays partitioned. For
-    all-pairs top-k at scale use :func:`lsh_ann_topk`.
+    probes is expected small (it was broadcast before r6; now it is collected
+    into a (n_probes × dim) matrix — the same "must fit on driver+executors"
+    contract). The scan side stays partitioned. For all-pairs top-k at scale
+    use :func:`lsh_ann_topk`.
+
+    r6 shape: ONE ``mapInArrow`` pass scores a whole Arrow batch against every
+    probe with batched numpy and emits only each task's LOCAL top-k per probe;
+    a window over the surviving ≤ k·n_tasks·n_probes rows picks the global
+    top-k. The r5 shape — BroadcastNestedLoopJoin feeding three interpreted
+    higher-order ``aggregate`` lambdas per pair — evaluated ~6·dim scalar
+    expression nodes per pair on an unpartitioned build side. Cosines are
+    BIT-identical: the numpy loops reproduce the JVM aggregates'
+    left-to-right IEEE-double summation order exactly (acc = (acc + x_d·y_d)
+    in d order), so dot, both norms, and dot/(na·nb) round identically.
+    Local top-k selection can never change the result: rank order
+    (cosine desc NaN-greatest, id asc) is replicated per task, and the global
+    window re-ranks with the same key.
     """
-    p = probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pv"))
-    v = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
-    pairs = v.join(F.broadcast(p), F.col("probe_id") != F.col("neighbor_id"))
-    scored = pairs.withColumn("cosine", _cosine_expr(F.col("pv"), F.col("nv")))
+    import pyarrow as pa
+
+    from corpus_dedup_spark.functions.layout import fan_out
+
+    prows = probes.select(id_col, vec_col).collect()
+    kk = int(k)
+    # both id columns come from the same id space (probes ⊆ vectors in every
+    # caller); emit both with the vectors side's type
+    nid_type = dict(vectors.dtypes)[id_col]
+    out_schema = (f"probe_id {nid_type}, neighbor_id {nid_type}, "
+                  "cosine double")
     w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(),
                                                F.col("neighbor_id").asc())
+    if not prows:
+        # empty probe set → empty result with the right schema
+        empty = vectors.sparkSession.createDataFrame([], out_schema)
+        return empty.withColumn("rank", F.lit(1)).filter(F.lit(False))
+
+    pids = [r[0] for r in prows]
+    pmat = np.array([np.asarray(r[1], dtype=np.float64) for r in prows])
+    n_p, dim = pmat.shape
+    # probe norms: left-to-right sum of squares — the JVM aggregate's order
+    pn = np.zeros(n_p)
+    for d in range(dim):
+        pn = pn + pmat[:, d] * pmat[:, d]
+    pn = np.sqrt(pn)
+
+    def fn(batches):
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            import pyarrow.compute as pc
+
+            ids = rb.column(0)
+            col = rb.column(1)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            lens = np.asarray(pc.list_value_length(col))
+            if not (lens == dim).all():
+                raise ValueError(
+                    "brute_force_topk: ragged/null embedding batch "
+                    f"(expected dim {dim})")
+            flat = np.asarray(col.flatten(), dtype=np.float64)
+            mat = flat.reshape(n, dim)
+            # dot and norm with the JVM aggregates' left-to-right order
+            dots = np.zeros((n, n_p))
+            na = np.zeros(n)
+            for d in range(dim):
+                c = mat[:, d]
+                na = na + c * c
+                dots = dots + c[:, None] * pmat[None, :, d]
+            cos = dots / (np.sqrt(na)[:, None] * pn[None, :])
+            # Spark orders NaN as GREATEST under desc — mirror that in the
+            # local selection key so the global window agrees
+            key = np.where(np.isnan(cos), np.inf, cos)
+            pyids = ids.to_pylist()
+            try:
+                nid = np.asarray(pyids)
+                numeric = nid.dtype != object
+            except (TypeError, ValueError):
+                numeric = False
+            sel_i: list[int] = []
+            sel_j: list[int] = []
+            for j in range(n_p):
+                if numeric:
+                    order = np.lexsort((nid, -key[:, j]))
+                else:
+                    order = sorted(range(n),
+                                   key=lambda i: (-key[i, j], pyids[i]))
+                taken = 0
+                for i in order:
+                    if pyids[i] == pids[j]:
+                        continue  # probe_id != neighbor_id
+                    sel_i.append(int(i))
+                    sel_j.append(j)
+                    taken += 1
+                    if taken >= kk:
+                        break
+            if not sel_i:
+                continue
+            take_idx = pa.array(sel_i, type=pa.int64())
+            id_field = rb.schema.field(0).type
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([pids[j] for j in sel_j], type=id_field),
+                 ids.take(take_idx),
+                 pa.array(cos[sel_i, sel_j], type=pa.float64())],
+                schema=pa.schema([
+                    pa.field("probe_id", id_field),
+                    pa.field("neighbor_id", id_field),
+                    pa.field("cosine", pa.float64())]))
+
+    v = fan_out(vectors.select(F.col(id_col), F.col(vec_col)))
+    scored = v.mapInArrow(fn, schema=out_schema)
     return (
         scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        .filter(F.col("rank") <= kk)
         .select("probe_id", "neighbor_id", "cosine", "rank")
     )
 

@@ -36,9 +36,15 @@ def build_fingerprint_index(pages: DataFrame, window: int, id_col: str = "url",
     Persist/write this once per window size; queries of that length are then pure
     probes. At scale: partition by whash bucket for probe locality.
     """
+    from corpus_dedup_spark.functions.layout import fan_out
+
     fps = make_window_fingerprints_udf(window) if squash else \
         _raw_fingerprints_udf(window)
-    return pages.select(
+    # layout repair: the rolling-hash UDF and the posexplode both live above
+    # the scan; a single-split input (the driver's one-row-group parquet)
+    # would otherwise hash the whole corpus in ONE task. No-op when the scan
+    # already matches the cluster.
+    return fan_out(pages.select(id_col, text_col)).select(
         id_col, F.posexplode(fps(F.col(text_col))).alias("pos", "whash")
     )
 

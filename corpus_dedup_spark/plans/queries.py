@@ -32,6 +32,18 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _fanned_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with input-layout repair (functions/layout.fan_out): the sf
+    tables are single-row-group parquet, so without this every map-side stage
+    (UDFs, regex, explodes) runs as ONE task. Conditional — no Exchange when
+    the scan already matches the cluster's parallelism. Used by the queries
+    whose scan stage carries heavy per-row compute; results are unaffected
+    (round-robin placement feeds shuffles/aggs only)."""
+    from corpus_dedup_spark.functions.layout import fan_out
+
+    return fan_out(_docs(spark, sf_dir))
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
@@ -169,7 +181,9 @@ FROM (SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS l
 # ---------------------------------------------------------------------------
 
 def q_token_jaccard_pairs(spark, sf_dir):
-    docs = _docs(spark, sf_dir)
+    # fan out: the token explode above the first exchange is the query's
+    # heaviest map stage — serialized on the 1-split driver table otherwise
+    docs = _fanned_docs(spark, sf_dir)
     units = (
         docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
         .filter(F.col("tok") != "")
@@ -275,7 +289,9 @@ def q_substring_search(spark, sf_dir):
     q_prefix, _ = kernel.rolling_prefix(q_cps, kernel.SEARCH_HASH_BASE, add=1)
     q_hash = int(np.uint64(q_prefix[qlen]).view(np.int64))
 
-    docs = _docs(spark, sf_dir)
+    # fan out: the fingerprint UDF + posexplode + probe filter all run above
+    # the (single-split) scan — serial without layout repair
+    docs = _fanned_docs(spark, sf_dir)
     fps = make_window_fingerprints_udf(qlen)
     hits = (
         docs.select("doc_id", "text", F.posexplode(fps(F.col("text"))).alias("pos", "whash"))
@@ -788,7 +804,10 @@ def q_sentence_dedup_pages(spark, sf_dir):
     reproduced in SQL, so the pages-schema entry point is value-checked too."""
     from corpus_dedup_spark.operators.exact_dedup import run_exact_dedup
 
-    _marked, deduped, _stats = run_exact_dedup(_docs_as_pages(spark, sf_dir))
+    from corpus_dedup_spark.functions.layout import fan_out
+
+    _marked, deduped, _stats = run_exact_dedup(
+        fan_out(_docs_as_pages(spark, sf_dir)))
     return deduped.select("url", "dedup_text", "n_units")
 
 
@@ -1486,16 +1505,24 @@ def q_url_canonical(spark, sf_dir):
         .otherwise(F.lit("")),
         F.when(d % 6 == 0, F.lit("#sec")).otherwise(F.lit("")),
     )
+    from corpus_dedup_spark.functions.layout import fan_out
+
     base = (
-        _docs(spark, sf_dir)
-        .select(F.col("doc_id").cast("long").alias("id"))
+        fan_out(_docs(spark, sf_dir).select(
+            F.col("doc_id").cast("long").alias("id")))
         .withColumn("url", url)
         .withColumn("canon_url", canonical_url_expr(F.col("url"))))
-    # keeper via partial-combining agg + join (AQE broadcasts the keeper
-    # table), not a window — a window min would hash-partition AND sort every
-    # row per canonical key; the agg combines map-side first
-    keepers = base.groupBy("canon_url").agg(F.min("id").alias("keeper_id"))
-    return base.join(keepers, "canon_url").select(
+    # r6: keeper via ONE keyed window min, not agg + self-join — the join
+    # shape evaluated the whole regex canonicalization chain TWICE (once per
+    # join subtree; Catalyst does not CSE across them) and that chain IS the
+    # query's cost. The window hash-partitions on canon_url once and reuses
+    # the single computed canon column for both the key and the output; the
+    # added per-partition sort is over (id) pairs, negligible next to a
+    # second full regex pass at any scale. Rows are identical (min over the
+    # whole partition frame == groupBy min joined back). fan_out above
+    # parallelizes the regex itself past the 1-split input.
+    w = Window.partitionBy("canon_url")
+    return base.withColumn("keeper_id", F.min("id").over(w)).select(
         F.col("id").alias("doc_id"), "url", "canon_url", "keeper_id",
         (F.col("id") != F.col("keeper_id")).cast("long").alias("is_dup"))
 
@@ -2397,7 +2424,7 @@ def q_sequence_pack(spark, sf_dir):
     oracle is allowed to use at sf0.01. Integer-exact by construction."""
     from corpus_dedup_spark.operators.packing import pack_sequences
 
-    return pack_sequences(_docs(spark, sf_dir), seq_len=PACK_SEQ_LEN)
+    return pack_sequences(_fanned_docs(spark, sf_dir), seq_len=PACK_SEQ_LEN)
 
 
 SQL_SEQUENCE_PACK = f"""
@@ -2429,7 +2456,7 @@ def q_packed_seq_stats(spark, sf_dir):
     from corpus_dedup_spark.operators.packing import (pack_sequences,
                                                       sequence_stats)
 
-    packed = pack_sequences(_docs(spark, sf_dir), seq_len=PACK_SEQ_LEN)
+    packed = pack_sequences(_fanned_docs(spark, sf_dir), seq_len=PACK_SEQ_LEN)
     return sequence_stats(packed, seq_len=PACK_SEQ_LEN)
 
 
@@ -2508,7 +2535,7 @@ def q_unigram_lm(spark, sf_dir):
     map-side-combining agg, joined back broadcast-sized."""
     from corpus_dedup_spark.operators.lm_quality import unigram_lm_scores
 
-    return unigram_lm_scores(_docs(spark, sf_dir))
+    return unigram_lm_scores(_fanned_docs(spark, sf_dir))
 
 
 SQL_UNIGRAM_LM = """
@@ -2533,7 +2560,7 @@ def q_topk_terms(spark, sf_dir):
     the TF-IDF order). operators/lm_quality.py:top_terms_per_doc."""
     from corpus_dedup_spark.operators.lm_quality import top_terms_per_doc
 
-    return top_terms_per_doc(_docs(spark, sf_dir), k=3)
+    return top_terms_per_doc(_fanned_docs(spark, sf_dir), k=3)
 
 
 SQL_TOPK_TERMS = """
