@@ -480,6 +480,40 @@ def make_sig_digest_udf(num_perm: int):
 # H2/H4 — rolling-hash window fingerprints over UTF-32 codepoints
 # ---------------------------------------------------------------------------
 
+def make_window_match_positions_udf(window: int, target_hash: int,
+                                    base: int = kernel.SEARCH_HASH_BASE,
+                                    add: int = 1):
+    """text → array<int64> of positions whose window hash equals ``target_hash``.
+
+    Single-query probe fused into the fingerprint kernel (r6): the unfused
+    shape shipped EVERY position's hash through Arrow and streamed one JVM
+    Generate+Filter row per position (~n_chars rows per document) just to keep
+    the handful that match. Emitting only candidate positions makes the Arrow
+    payload and the explode O(matches). Hash matches are still candidates
+    only — callers must verify the substring (quirk Q6), exactly as before;
+    the kernel (decode, rolling prefix, window subtraction) is byte-identical
+    to :func:`make_window_fingerprints_udf`."""
+    tgt = np.int64(target_hash)
+
+    @pandas_udf(ArrayType(LongType()))
+    def match_positions(texts: pd.Series) -> pd.Series:
+        out = []
+        empty = np.empty(0, dtype=np.int64)
+        for t in texts:
+            cps = kernel.utf8_decode_buffer(kernel.squash_newlines(_as_bytes(t)))
+            n = len(cps)
+            if n < window:
+                out.append(empty)
+                continue
+            prefix, pow_ = kernel.rolling_prefix(cps, base, add)
+            with np.errstate(over="ignore"):
+                w = prefix[window:] - prefix[:-window] * pow_[window]
+            out.append(np.flatnonzero(w.view(np.int64) == tgt))
+        return pd.Series(out)
+
+    return match_positions
+
+
 def make_window_fingerprints_udf(window: int, base: int = kernel.SEARCH_HASH_BASE,
                                  add: int = 1):
     """text → array<int64> of rolling window hashes (positions implicit 0..n-window).

@@ -115,8 +115,18 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     if n_edges == 0:
         return e.select(F.col("src").alias("node"), F.col("dst").alias("cluster_id"))
     if driver_max_edges and n_edges <= driver_max_edges:
-        rows = e.collect()
-        return _driver_union_find([(r[0], r[1]) for r in rows], e.sparkSession,
+        # inbound edges through ONE Arrow table (r6): collect() deserialized
+        # every edge into a boxed Row — the same per-row cost the OUTBOUND
+        # label path already shed in r5 (00588d4). toArrow() ships the edge
+        # list as two columnar buffers; the union-find needs plain Python
+        # values either way, so to_pylist() is the only per-edge Python cost.
+        try:
+            tbl = e.toArrow()
+            pairs = list(zip(tbl.column(0).to_pylist(),
+                             tbl.column(1).to_pylist()))
+        except AttributeError:  # pre-4.0 Spark: fall back to Row collect
+            pairs = [(r[0], r[1]) for r in e.collect()]
+        return _driver_union_find(pairs, e.sparkSession,
                                   e.schema["src"].dataType)
 
     prev_sig = None

@@ -70,7 +70,14 @@ def global_token_offsets(docs: DataFrame, id_col: str = "doc_id",
     Precondition: ``id_col`` is unique (it is the concatenation order). With
     duplicate ids the order among the duplicates — and therefore their
     offsets — would be partition-placement-dependent."""
-    counts = with_token_counts(docs, text_col).select(id_col, "n_tokens")
+    # counts is persisted across the RangePartitioner's SAMPLING pass (r6):
+    # repartitionByRange first runs a sampling job that executes the child
+    # plan, then the real shuffle executes it again — without the persist the
+    # token-count regex ran over every document TWICE. The cache is narrow
+    # (id + one long per doc) and released below as soon as the ranged rows
+    # are materialized.
+    counts = (with_token_counts(docs, text_col)
+              .select(id_col, "n_tokens").persist())
     spark = counts.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -96,6 +103,10 @@ def global_token_offsets(docs: DataFrame, id_col: str = "doc_id",
         .agg(F.sum("n_tokens").alias("_t"), F.min(id_col).alias("_lo"))
         .collect()
     )
+    # the collect above materialized `local`'s blocks; every later consumer
+    # reads those, so the narrow counts cache can be dropped immediately
+    # (ADVICE r5: persisted frames must be released, not accumulated)
+    counts.unpersist()
     # Partition ids are not promised to follow range order — anchor by the
     # partition's minimum id, which range partitioning does order.
     base, bases = 0, {}

@@ -184,35 +184,41 @@ def q_token_jaccard_pairs(spark, sf_dir):
     # fan out: the token explode above the first exchange is the query's
     # heaviest map stage — serialized on the 1-split driver table otherwise
     docs = _fanned_docs(spark, sf_dir)
+    # r6: the exploded-distinct units subtree used to appear FOUR times in the
+    # physical plan (once per self-join side, twice more under the two sizes
+    # joins — Catalyst does not CSE across join subtrees), i.e. 4 explodes +
+    # 4 distinct shuffles of the same rows. Persist it once, and attach each
+    # doc's size to the unit rows BEFORE the self-join (one AQE-broadcast
+    # join of the 1-row-per-doc sizes table) so the intersection agg can
+    # group by (id, sz) pairs directly and the two post-agg sizes joins
+    # disappear. Rows are identical: sz is functionally dependent on doc_id,
+    # so the added grouping keys change no groups, and the Jaccard filter
+    # reads the same sz_a/sz_b values it previously joined back in.
     units = (
         docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
         .filter(F.col("tok") != "")
         .distinct()
+        .persist()
     )
     sizes = units.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    units_sz = units.join(F.broadcast(sizes), "doc_id")
     # Block the ±20-id band into /20 buckets so the range predicate becomes part of
     # the equi-join key (tok, block): without this, Spark nest-loops the range filter
     # inside each token's group — quadratic in token document-frequency.
-    a = units.select(
-        F.col("doc_id").alias("id_a"), F.col("tok"),
+    a = units_sz.select(
+        F.col("doc_id").alias("id_a"), F.col("tok"), F.col("sz").alias("sz_a"),
         F.explode(F.array(F.floor(F.col("doc_id") / 20),
                           F.floor(F.col("doc_id") / 20) + 1)).alias("blk"),
     )
-    b = units.select(
-        F.col("doc_id").alias("id_b"), F.col("tok"),
+    b = units_sz.select(
+        F.col("doc_id").alias("id_b"), F.col("tok"), F.col("sz").alias("sz_b"),
         F.floor(F.col("doc_id") / 20).alias("blk"),
     )
-    inter = (
+    out = (
         a.join(b, ["tok", "blk"])
         .where((F.col("id_b") > F.col("id_a")) & (F.col("id_b") <= F.col("id_a") + 20))
-        .groupBy("id_a", "id_b")
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
         .agg(F.count("*").alias("n_inter"))
-    )
-    out = (
-        inter.join(sizes.withColumnRenamed("doc_id", "id_a")
-                        .withColumnRenamed("sz", "sz_a"), "id_a")
-        .join(sizes.withColumnRenamed("doc_id", "id_b")
-                   .withColumnRenamed("sz", "sz_b"), "id_b")
         .withColumn("n_union", F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
         # J >= 0.5 as integer arithmetic: 2*inter >= union
         .filter(F.col("n_inter") * 2 >= F.col("n_union"))
@@ -281,7 +287,7 @@ def q_substring_search(spark, sf_dir):
     import numpy as np
 
     from corpus_dedup_spark import kernel
-    from corpus_dedup_spark.functions.udfs import make_window_fingerprints_udf
+    from corpus_dedup_spark.functions.udfs import make_window_match_positions_udf
 
     q = SEARCH_QUERY
     q_cps = kernel.utf8_decode_buffer(q.encode())
@@ -289,15 +295,18 @@ def q_substring_search(spark, sf_dir):
     q_prefix, _ = kernel.rolling_prefix(q_cps, kernel.SEARCH_HASH_BASE, add=1)
     q_hash = int(np.uint64(q_prefix[qlen]).view(np.int64))
 
-    # fan out: the fingerprint UDF + posexplode + probe filter all run above
-    # the (single-split) scan — serial without layout repair
+    # fan out: the fingerprint UDF runs above the (single-split) scan —
+    # serial without layout repair. r6: the hash probe is fused into the
+    # kernel (make_window_match_positions_udf) so only candidate positions
+    # cross Arrow and the JVM — the prior shape exploded one row per
+    # document position (~n_chars rows/doc) and filtered them all.
     docs = _fanned_docs(spark, sf_dir)
-    fps = make_window_fingerprints_udf(qlen)
+    match_pos = make_window_match_positions_udf(qlen, q_hash)
     hits = (
-        docs.select("doc_id", "text", F.posexplode(fps(F.col("text"))).alias("pos", "whash"))
-        .filter(F.col("whash") == F.lit(q_hash))
+        docs.select("doc_id", "text", F.explode(match_pos(F.col("text"))).alias("pos"))
         # verify: rolling hash match is a candidate, not an answer (quirk Q6)
-        .filter(F.substring(F.col("text"), F.col("pos") + 1, qlen) == F.lit(q))
+        .filter(F.substring(F.col("text"), (F.col("pos") + 1).cast("int"), qlen)
+                == F.lit(q))
     )
     return hits.groupBy("doc_id").agg(F.count("*").alias("n_hits"))
 
