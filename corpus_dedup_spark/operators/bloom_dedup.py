@@ -8,11 +8,12 @@ over the corpus keys:
 
 1. **build** — one pass over the corpus keys: hash JVM-side
    (``F.xxhash64``), set k bits per key in a per-partition numpy bitmap
-   inside ``mapInArrow`` (no per-row Python), OR the per-partition bitmaps
-   on the driver. The bitmap is ~1.2 GB per 10⁹ keys at 1% fpp — small
-   enough to broadcast, persist beside the state table, and UPDATE
-   INCREMENTALLY (OR in each batch's bitmap) so steady-state runs never
-   rescan the corpus to rebuild it.
+   inside ``mapInArrow`` (no per-row Python) over a stream coalesced to a
+   BOUNDED partition count, then OR the ≤32 partial bitmaps incrementally on
+   the driver (``toLocalIterator`` — O(bitmap) driver residency). The bitmap
+   is ~1.2 GB per 10⁹ keys at 1% fpp — small enough to broadcast, persist
+   beside the state table, and UPDATE INCREMENTALLY (OR in each batch's
+   bitmap) so steady-state runs never rescan the corpus to rebuild it.
 2. **probe** — broadcast the bitmap; an Arrow-vectorized ``mapInPandas``
    flags each batch unit maybe-in-corpus / definitely-new. Definitely-new
    units (no false negatives, ever) BYPASS the anti-join entirely; only the
@@ -75,18 +76,22 @@ def _positions(h64: np.ndarray, m_bits: int, k: int) -> np.ndarray:
         return (h1[:, None] + i[None, :] * h2[:, None]) & mask
 
 
-def build_bloom(keys: DataFrame, key_col: str, n_items: int,
-                fpp: float = 0.01) -> Tuple[np.ndarray, int, int]:
-    """(bitmap uint64[], m_bits, k): Bloom filter over ``keys[key_col]``.
+MAX_PARTIAL_BITMAPS = 32
 
-    One distributed pass: xxhash64 in the JVM, bit-setting vectorized in
-    numpy per Arrow batch, one bitmap row yielded per partition, OR-merged
-    pairwise on the driver (transfer = n_partitions × m/8 bytes — the same
-    driver merge Spark's own ``stat.bloomFilter`` performs).
+
+def _partial_bitmaps(keys: DataFrame, key_col: str, m_bits: int, k: int,
+                     max_partials: int = MAX_PARTIAL_BITMAPS) -> DataFrame:
+    """One Bloom bitmap row per (coalesced) partition of ``keys``.
+
+    The hashed stream is ``coalesce``d (narrow — no shuffle) to at most
+    ``max_partials`` partitions first, so the number of partial bitmaps is
+    BOUNDED by a constant, not by the corpus scan's task count: a 10³-10⁴-task
+    corpus scan would otherwise emit 10³-10⁴ bitmaps of m/8 bytes each.
     """
-    m_bits, k = bloom_params(n_items, fpp)
     n_words = m_bits // 64
     hashed = keys.select(F.xxhash64(key_col).alias("_h"))
+    if hashed.rdd.getNumPartitions() > max_partials:
+        hashed = hashed.coalesce(max_partials)
 
     def per_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         bm = np.zeros(n_words, dtype=_U64)
@@ -97,9 +102,29 @@ def build_bloom(keys: DataFrame, key_col: str, n_items: int,
                              np.left_shift(_U64(1), pos & _U64(63)))
         yield pa.RecordBatch.from_arrays([pa.array([bm.tobytes()])], ["bm"])
 
-    parts = hashed.mapInArrow(per_partition, schema="bm binary").collect()
+    return hashed.mapInArrow(per_partition, schema="bm binary")
+
+
+def build_bloom(keys: DataFrame, key_col: str, n_items: int,
+                fpp: float = 0.01) -> Tuple[np.ndarray, int, int]:
+    """(bitmap uint64[], m_bits, k): Bloom filter over ``keys[key_col]``.
+
+    One distributed pass: xxhash64 in the JVM, bit-setting vectorized in
+    numpy per Arrow batch, one bitmap row per partition with the partition
+    count COALESCED to ≤ :data:`MAX_PARTIAL_BITMAPS` (r6), then OR-merged
+    incrementally via ``toLocalIterator`` — driver residency is O(bitmap)
+    (the accumulator plus the row in flight), never
+    O(n_partitions × bitmap). (The r5 version ``collect()``ed every
+    per-scan-task bitmap at once and claimed parity with Spark's
+    ``stat.bloomFilter``; that was wrong on both counts — Spark merges
+    partial filters executor-side via aggregation and ships ONE filter.)
+    Total driver transfer is ≤ MAX_PARTIAL_BITMAPS × m/8 bytes, streamed.
+    """
+    m_bits, k = bloom_params(n_items, fpp)
+    n_words = m_bits // 64
     bitmap = np.zeros(n_words, dtype=_U64)
-    for row in parts:
+    partials = _partial_bitmaps(keys, key_col, m_bits, k)
+    for row in partials.toLocalIterator(prefetchPartitions=True):
         bitmap |= np.frombuffer(row["bm"], dtype=_U64)
     return bitmap, m_bits, k
 

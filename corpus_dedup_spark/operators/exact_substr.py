@@ -81,18 +81,20 @@ def duplicate_substring_spans(
     stage (the fallback is the direct JVM window explode).
     """
     if hash_prefilter:
-        from corpus_dedup_spark.operators.search import build_fingerprint_index
+        from corpus_dedup_spark.operators.search import (
+            build_fingerprint_index, explode_fingerprints)
 
-        # persisted: ph feeds BOTH the hot-hash agg and the survivor join —
-        # without the persist the kernel pass would run twice (same
-        # precedent as minhash_lsh.near_dup_edges' features persist)
-        ph = (
-            build_fingerprint_index(docs.select(id_col, text_col),
-                                    window=window, id_col=id_col,
-                                    text_col=text_col, squash=False)
-            .withColumnRenamed("whash", "_h")
-            .persist()
-        )
+        # persisted: the posting arrays feed BOTH the hot-hash agg and the
+        # survivor join — without the persist the kernel pass would run twice
+        # (same precedent as minhash_lsh.near_dup_edges' features persist).
+        # r6: the index is cached in its per-document ARRAY form (~n_docs
+        # rows, not ~n_chars rows — the exploded cache was the operator's
+        # single biggest cost); both consumers explode it lazily inside
+        # whole-stage codegen.
+        pidx = build_fingerprint_index(docs.select(id_col, text_col),
+                                       window=window, id_col=id_col,
+                                       text_col=text_col, squash=False).persist()
+        ph = explode_fingerprints(pidx, id_col).withColumnRenamed("whash", "_h")
         hot = (
             ph.groupBy("_h")
             .agg(F.count("*").alias("_c"))

@@ -100,19 +100,27 @@ def candidate_pairs(bands_df: DataFrame, cfg: DedupConfig,
     excluded from the join and reported for lineage (skew cap — a 1M-member
     boilerplate bucket would otherwise produce 10^12 pairs).
     """
-    # Sizing via groupBy with MAP-SIDE PARTIAL COMBINE: each task counts its own
-    # bucket keys locally, so the sizing shuffle carries ~distinct buckets, not
-    # every band row (an explicit pre-repartition was measured to defeat the
-    # partial aggregate — partial_count lands AFTER the exchange — turning sizing
-    # into a second full band-row shuffle; at scale that shuffle is ~3 TB).
-    # Hot buckets are by definition FEW (each holds > max_bucket_size members), so
-    # the drop set broadcasts and the band table is filtered with a broadcast
-    # anti-join BEFORE any bucket materialization — no reducer ever collects an
-    # uncapped bucket. Net: ONE full band-row shuffle (the bucket collect below).
-    sizes = bands_df.groupBy("band_id", "band_hash").agg(
+    # r6: ONE band-row exchange, SHARED by sizing and bucket collection.
+    # Both aggregations key on (band_id, band_hash); hanging them off one
+    # explicit repartition makes their Exchange subtrees identical, so
+    # Spark's exchange reuse materializes the shuffle once and reads it
+    # twice (verified in the executed plan: a single shuffle write). The r5
+    # shape paid TWO band-row shuffle writes — the sizing groupBy's map-side
+    # partial combine only collapses intra-partition bucket repeats, and
+    # band hashes are high-entropy, so its "shuffle ~distinct buckets" was
+    # ~0.9x a full band-row shuffle here (measured: the shared exchange won
+    # every alternated pair at 500k docs/32c, best 4.38 s vs 4.83 s; the
+    # same holds at scale unless the corpus is so duplicate-heavy that the
+    # partial combine collapses the sizing stream by >2x, the write:read
+    # cost ratio). The cap SAFETY is unchanged: hot buckets are detected on
+    # count rows, the drop set broadcasts, and the anti-join filters the
+    # band stream BEFORE any bucket materialization — no reducer ever
+    # collects an uncapped bucket.
+    rep = bands_df.repartition("band_id", "band_hash")
+    sizes = rep.groupBy("band_id", "band_hash").agg(
         F.count("*").alias("bucket_n"))
     dropped = sizes.filter(F.col("bucket_n") > cfg.max_bucket_size)
-    ok = bands_df.join(
+    ok = rep.join(
         F.broadcast(dropped.select("band_id", "band_hash")),
         ["band_id", "band_hash"], "left_anti",
     )

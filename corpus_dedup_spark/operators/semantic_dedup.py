@@ -33,15 +33,29 @@ from corpus_dedup_spark.operators.embedding_dedup import _cosine_expr
 from corpus_dedup_spark.operators.ivf_ann import ivf_assign, select_centroids
 
 
+TARGET_CELL_SIZE = 1024  # docs per cell the (N/K)² self-join is sized for
+
+
 def semantic_dedup(vectors: DataFrame, threshold: float,
-                   n_centroids: int = 64, id_col: str = "vec_id",
+                   n_centroids: int | None = None, id_col: str = "vec_id",
                    vec_col: str = "embedding") -> DataFrame:
     """(id, cell, kept): SemDeDup keep/drop verdict for every input vector.
 
     Every input row appears in the output — filtering is the caller's
     ``WHERE kept = 1`` — so the decision itself is auditable (and
     value-hashable) rather than only its survivors.
+
+    ``n_centroids=None`` (r6 default) ENFORCES the K-grows-with-N contract:
+    K = ceil(N / TARGET_CELL_SIZE), clamped to ≥ 16, derived from one count
+    of the input. The r5 default was a flat 64 — at 10⁹ vectors that is
+    1.5·10⁷-member cells and a ~10¹⁴-pair intra-cell join; deriving K keeps
+    the expected cell at TARGET_CELL_SIZE and the per-cell join at ~10⁶
+    pairs regardless of corpus size (the paper's K ≈ N/10⁴ shape). Passing
+    an explicit K is honored unchanged (the oracle replay pins one).
     """
+    if n_centroids is None:
+        n = vectors.count()
+        n_centroids = max(16, -(-n // TARGET_CELL_SIZE))
     centroids = select_centroids(vectors, n_centroids, id_col, vec_col)
     cells = ivf_assign(vectors, centroids, id_col, vec_col)
     members = (

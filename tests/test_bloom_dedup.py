@@ -109,3 +109,33 @@ class TestIncrementalDedup:
                   with_bloom_maybe(units, spark, bm, m, k, "norm_unit")
                   .groupBy("_maybe").count().collect()}
         assert routes.get(True, 0) > 0 and routes.get(False, 0) > 0
+
+
+class TestBoundedDriverMerge:
+    def test_partial_bitmap_count_bounded(self, spark):
+        """r6: the build stage must emit a BOUNDED number of partial bitmaps
+        regardless of how many scan tasks the corpus has — the r5 collect of
+        one bitmap per scan task was O(n_partitions x m/8) driver-resident."""
+        from corpus_dedup_spark.operators.bloom_dedup import (
+            MAX_PARTIAL_BITMAPS, _partial_bitmaps, bloom_params)
+
+        keys = spark.range(0, 5000).select(
+            F.encode(F.concat(F.lit("key-"), F.col("id")), "UTF-8")
+            .alias("norm_unit")).repartition(64)
+        m, k = bloom_params(5000, 0.01)
+        partials = _partial_bitmaps(keys, "norm_unit", m, k)
+        assert partials.rdd.getNumPartitions() <= MAX_PARTIAL_BITMAPS
+
+    def test_coalesced_build_bit_identical(self, spark):
+        """The coalesced + incrementally-OR-merged bitmap equals the bitmap
+        built from a single partition (OR is associative/commutative; the
+        partitioning must not matter)."""
+        keys = spark.range(0, 3000).select(
+            F.encode(F.concat(F.lit("key-"), F.col("id")), "UTF-8")
+            .alias("norm_unit"))
+        bm_many, m1, k1 = build_bloom(keys.repartition(64), "norm_unit",
+                                      3000, 0.01)
+        bm_one, m2, k2 = build_bloom(keys.coalesce(1), "norm_unit",
+                                     3000, 0.01)
+        assert (m1, k1) == (m2, k2)
+        assert np.array_equal(bm_many, bm_one)

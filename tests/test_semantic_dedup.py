@@ -84,3 +84,31 @@ class TestSemanticDedup:
             ._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+class TestCellSizeContract:
+    def test_default_k_grows_with_n(self, spark):
+        """r6: n_centroids=None derives K = ceil(N / TARGET_CELL_SIZE)
+        (clamped to >= 16) from a count, enforcing the SemDeDup K-grows-with-N
+        contract instead of the r5 flat default of 64."""
+        from corpus_dedup_spark.operators import semantic_dedup as sd
+
+        n = 5 * sd.TARGET_CELL_SIZE
+        df = spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.array(F.rand(seed=7), F.rand(seed=11), F.rand(seed=13),
+                    F.rand(seed=17)).alias("embedding"))
+        out = sd.semantic_dedup(df, threshold=0.999)
+        # K cells actually materialize: the largest observed cell stays near
+        # TARGET_CELL_SIZE, nowhere near the N-sized cells a flat K allows
+        sizes = (out.groupBy("cell").count().agg(F.max("count")).collect()[0][0])
+        assert out.count() == n
+        assert sizes < 4 * sd.TARGET_CELL_SIZE
+
+    def test_explicit_k_untouched(self, spark):
+        """An explicit n_centroids must behave exactly as before (the oracle
+        replay pins one)."""
+        df = _vdf(spark, [(1, E1), (2, E1), (3, E2)])
+        out = {r["vec_id"]: r["kept"]
+               for r in semantic_dedup(df, 0.9, n_centroids=64).collect()}
+        assert out == {1: 1, 2: 0, 3: 1}
