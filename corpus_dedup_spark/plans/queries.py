@@ -181,50 +181,51 @@ FROM (SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS l
 # ---------------------------------------------------------------------------
 
 def q_token_jaccard_pairs(spark, sf_dir):
-    # fan out: the token explode above the first exchange is the query's
-    # heaviest map stage — serialized on the 1-split driver table otherwise
+    # fan out: the token-set projection above the first exchange is the
+    # query's heaviest map stage — serialized on the 1-split table otherwise
     docs = _fanned_docs(spark, sf_dir)
-    # r6: the exploded-distinct units subtree used to appear FOUR times in the
-    # physical plan (once per self-join side, twice more under the two sizes
-    # joins — Catalyst does not CSE across join subtrees), i.e. 4 explodes +
-    # 4 distinct shuffles of the same rows. Persist it once, and attach each
-    # doc's size to the unit rows BEFORE the self-join (one AQE-broadcast
-    # join of the 1-row-per-doc sizes table) so the intersection agg can
-    # group by (id, sz) pairs directly and the two post-agg sizes joins
-    # disappear. Rows are identical: sz is functionally dependent on doc_id,
-    # so the added grouping keys change no groups, and the Jaccard filter
-    # reads the same sz_a/sz_b values it previously joined back in.
-    units = (
-        docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
-        .filter(F.col("tok") != "")
-        .distinct()
-        .persist()
-    )
-    sizes = units.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    units_sz = units.join(F.broadcast(sizes), "doc_id")
-    # Block the ±20-id band into /20 buckets so the range predicate becomes part of
-    # the equi-join key (tok, block): without this, Spark nest-loops the range filter
-    # inside each token's group — quadratic in token document-frequency.
-    a = units_sz.select(
-        F.col("doc_id").alias("id_a"), F.col("tok"), F.col("sz").alias("sz_a"),
+    # r6: set-per-row banded join, no token explode, no aggregation. The
+    # pre-r6 shape exploded (doc, token) rows, self-joined on (tok, blk) —
+    # ~35M matched rows at sf1.0 — and counted them per pair in a hash agg;
+    # the exploded-distinct subtree additionally appeared four times in the
+    # plan. Each document's distinct token set is instead carried as ONE
+    # array cell into the banded self-join (the join shuffles the same
+    # token bytes — one (doc,tok) element per token either way — but ~1M
+    # joined rows instead of ~35M, and zero aggregations: both sides are
+    # distinct arrays, so size(array_intersect) IS |A∩B| per pair).
+    # ``blk`` blocks the ±20-id band into the equi-join key exactly as
+    # before; id_b ∈ (id_a, id_a+20] spans exactly one of a's two exploded
+    # blocks, so every candidate pair joins exactly once — no distinct
+    # needed. n_inter >= 1 reproduces the old "pairs exist only via a
+    # shared token" shape (without it, two token-free docs would emit an
+    # n_inter = n_union = 0 row the exploded formulation never produced).
+    ta = F.array_distinct(F.filter(F.split(F.col("text"), " "),
+                                   lambda x: x != ""))
+    base = (docs.select(F.col("doc_id"), ta.alias("toks"))
+            .withColumn("sz", F.size("toks")))
+    a = base.select(
+        F.col("doc_id").alias("id_a"), F.col("toks").alias("ta"),
+        F.col("sz").alias("sz_a"),
         F.explode(F.array(F.floor(F.col("doc_id") / 20),
                           F.floor(F.col("doc_id") / 20) + 1)).alias("blk"),
     )
-    b = units_sz.select(
-        F.col("doc_id").alias("id_b"), F.col("tok"), F.col("sz").alias("sz_b"),
+    b = base.select(
+        F.col("doc_id").alias("id_b"), F.col("toks").alias("tb"),
+        F.col("sz").alias("sz_b"),
         F.floor(F.col("doc_id") / 20).alias("blk"),
     )
-    out = (
-        a.join(b, ["tok", "blk"])
+    return (
+        a.join(b, "blk")
         .where((F.col("id_b") > F.col("id_a")) & (F.col("id_b") <= F.col("id_a") + 20))
-        .groupBy("id_a", "id_b", "sz_a", "sz_b")
-        .agg(F.count("*").alias("n_inter"))
-        .withColumn("n_union", F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
+        .withColumn("n_inter",
+                    F.size(F.array_intersect("ta", "tb")).cast("long"))
+        .filter(F.col("n_inter") >= 1)
+        .withColumn("n_union",
+                    (F.col("sz_a") + F.col("sz_b")).cast("long") - F.col("n_inter"))
         # J >= 0.5 as integer arithmetic: 2*inter >= union
         .filter(F.col("n_inter") * 2 >= F.col("n_union"))
         .select("id_a", "id_b", "n_inter", "n_union")
     )
-    return out
 
 
 SQL_TOKEN_JACCARD_PAIRS = """
