@@ -135,3 +135,36 @@ def test_bucketed_dim_fallback_warns(spark):
     with pytest.warns(RuntimeWarning, match="pass dim= explicitly"):
         ann = lsh_ann_topk(df, k=1, n_planes=4, n_tables=2)
     assert ann.count() >= 0
+
+
+def test_brute_force_bitwise_matches_jvm_expression_reference(spark, sf_dir):
+    """r6 guard: the batched-numpy cosine path must stay BIT-identical to the
+    JVM higher-order-aggregate formulation it replaced (same left-to-right
+    IEEE summation order), including rank ties — compared at full double
+    precision, not rounded."""
+    import struct
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from corpus_dedup_spark.operators.embedding_dedup import _cosine_expr
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 10)
+
+    p = probes.select(F.col("vec_id").alias("probe_id"),
+                      F.col("embedding").alias("pv"))
+    v = emb.select(F.col("vec_id").alias("neighbor_id"),
+                   F.col("embedding").alias("nv"))
+    scored = (v.join(F.broadcast(p), F.col("probe_id") != F.col("neighbor_id"))
+              .withColumn("cosine", _cosine_expr(F.col("pv"), F.col("nv"))))
+    w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(),
+                                               F.col("neighbor_id").asc())
+    ref = (scored.withColumn("rank", F.row_number().over(w))
+           .filter(F.col("rank") <= 2)
+           .select("probe_id", "neighbor_id", "cosine", "rank"))
+
+    want = {(r[0], r[1], struct.pack("d", r[2]), r[3]) for r in ref.collect()}
+    got = {(r[0], r[1], struct.pack("d", r[2]), r[3])
+           for r in brute_force_topk(emb, probes, k=2).collect()}
+    assert got == want
