@@ -26,6 +26,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Deliberate copies of bench.py's q_names tuple and (below) its partition
+# sizing formula: bench.py is FROZEN for measurement and keeps both as
+# main()-local values, so they cannot be imported. Re-sync by hand if a
+# future (unfrozen) round changes them.
 BENCH_QUERIES = (
     "token_jaccard_pairs", "cc_bucket_clusters", "substring_search",
     "embedding_top1", "event_hourly", "sentence_dedup_pages",

@@ -22,7 +22,15 @@ from pyspark.sql import DataFrame
 def fan_out(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
     """Round-robin repartition ``df`` to the default parallelism, but ONLY when
     its current plan yields fewer partitions than that — a no-op (no Exchange)
-    for inputs whose layout already matches the cluster."""
+    for inputs whose layout already matches the cluster.
+
+    Known limitation: the guard tests the scan's PARTITION COUNT, not its row
+    distribution. A multi-GB single-row-group file byte-splits into many
+    partitions of which only one yields rows, and the guard cannot see that
+    (knowing it would require reading footer metadata per file). That layout
+    is pathological for every engine — writers emit ≤128 MB-1 GB row groups —
+    and the driver tables that motivated this helper are small enough to
+    fall on the fires-correctly side."""
     spark = df.sparkSession
     target = min_parallelism or spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:

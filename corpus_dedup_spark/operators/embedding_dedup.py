@@ -49,6 +49,12 @@ def brute_force_topk(vectors: DataFrame, probes: DataFrame, k: int = 10,
     Local top-k selection can never change the result: rank order
     (cosine desc NaN-greatest, id asc) is replicated per task, and the global
     window re-ranks with the same key.
+
+    Preconditions (r6, stricter than the r5 join): embeddings must be
+    non-null and fixed-dim (a null/ragged row raises a loud ValueError — the
+    r5 SQL path silently gave such rows a NULL cosine that ranked last), and
+    ids must be non-null. Every caller in this repo (parquet embeddings,
+    test frames) satisfies both; failing loudly beats silently re-ranking.
     """
     import pyarrow as pa
 
